@@ -1,0 +1,200 @@
+"""Functional JAX layers for the compiled graph.
+
+Everything is NHWC (TPU-native layout; the reference is NCHW torch modules,
+model/parser.py:389-461). Conv weights are HWIO. Parameters live in plain
+pytrees (dicts); batch-norm running statistics live in a separate mutable
+`state` pytree so the apply function stays pure.
+
+Initialisation matches torch defaults (kaiming-uniform fan_in for conv/linear
+weights, uniform bound 1/sqrt(fan_in) for biases) so that training dynamics
+are comparable with the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPS = 1e-5       # torch nn.BatchNorm2d default
+BN_MOMENTUM = 0.1   # torch nn.BatchNorm2d default
+
+
+# ----------------------------------------------------------------- activations
+
+def mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+ACTIVATION_FNS = {
+    'logistic': jax.nn.sigmoid,
+    'leaky': partial(jax.nn.leaky_relu, negative_slope=0.1),
+    'relu': jax.nn.relu,
+    'relu6': lambda x: jnp.clip(x, 0.0, 6.0),
+    'tanh': jnp.tanh,
+    'mish': mish,
+    'linear': lambda x: x,
+}
+
+
+def apply_activation(name: str, x):
+    return ACTIVATION_FNS[name](x)
+
+
+# ------------------------------------------------------------- initialisation
+
+def _kaiming_uniform(key, shape, fan_in, a=math.sqrt(5)):
+    # torch kaiming_uniform_ with a=sqrt(5): gain = sqrt(2/(1+a^2)) = sqrt(1/3)
+    gain = math.sqrt(2.0 / (1.0 + a * a))
+    bound = gain * math.sqrt(3.0 / fan_in)
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def init_conv(key, in_channels: int, out_channels: int, size: int,
+              groups: int = 1, bias: bool = True) -> dict:
+    """Conv kernel in HWIO layout: (size, size, in/groups, out)."""
+    kw, kb = jax.random.split(key)
+    fan_in = (in_channels // groups) * size * size
+    params = {'w': _kaiming_uniform(kw, (size, size, in_channels // groups, out_channels), fan_in)}
+    if bias:
+        bound = 1.0 / math.sqrt(fan_in)
+        params['b'] = jax.random.uniform(kb, (out_channels,), jnp.float32, -bound, bound)
+    return params
+
+
+def init_bn(num_features: int) -> Tuple[dict, dict]:
+    params = {'gamma': jnp.ones((num_features,), jnp.float32),
+              'beta': jnp.zeros((num_features,), jnp.float32)}
+    state = {'mean': jnp.zeros((num_features,), jnp.float32),
+             'var': jnp.ones((num_features,), jnp.float32)}
+    return params, state
+
+
+def init_linear(key, in_features: int, out_features: int) -> dict:
+    kw, kb = jax.random.split(key)
+    w = _kaiming_uniform(kw, (in_features, out_features), in_features)
+    bound = 1.0 / math.sqrt(in_features)
+    b = jax.random.uniform(kb, (out_features,), jnp.float32, -bound, bound)
+    return {'w': w, 'b': b}
+
+
+# ------------------------------------------------------------------ forwards
+
+def conv2d(x, w, b=None, stride: int = 1, padding: int = 0, groups: int = 1,
+           compute_dtype=None):
+    """2-D convolution, NHWC x HWIO -> NHWC.
+
+    Grouped/depthwise convs map to ``feature_group_count`` which XLA lowers
+    onto the MXU directly (the reference leans on cuDNN for this,
+    model/parser.py:393-401).
+    """
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def batch_norm(x, params, state, train: bool):
+    """BatchNorm over (N, H, W); returns (y, new_state).
+
+    Normalisation uses biased batch variance; running stats store the
+    unbiased variance, both matching torch.nn.BatchNorm2d.
+    """
+    gamma, beta = params['gamma'], params['beta']
+    if train:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1, 2))
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            'mean': (1 - BN_MOMENTUM) * state['mean'] + BN_MOMENTUM * mean,
+            'var': (1 - BN_MOMENTUM) * state['var'] + BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = state['mean'], state['var']
+        new_state = state
+    inv = jax.lax.rsqrt(var + BN_EPS) * gamma
+    y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype) + beta.astype(x.dtype)
+    return y, new_state
+
+
+def fold_bn_into_conv(conv_params: dict, bn_params: dict, bn_state: dict) -> dict:
+    """Fold inference-mode BN into the conv weights/bias (the TPU analogue of
+    torch.quantization.fuse_modules, reference tools.py:256-274)."""
+    w = conv_params['w']
+    scale = bn_params['gamma'] / jnp.sqrt(bn_state['var'] + BN_EPS)
+    new_w = w * scale[None, None, None, :]
+    b = conv_params.get('b', jnp.zeros((w.shape[-1],), w.dtype))
+    new_b = (b - bn_state['mean']) * scale + bn_params['beta']
+    return {'w': new_w, 'b': new_b}
+
+
+def max_pool(x, size: int, stride: int, padding: int):
+    """NHWC max pool. Padding uses -inf so padded cells never win, matching
+    torch semantics of nn.MaxPool2d."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, size, size, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+
+
+def adaptive_avg_pool(x, out_h: int, out_w: int):
+    """AdaptiveAvgPool2d equivalent. For the common (1,1) case this is a
+    plain spatial mean; general case uses torch's bucket boundaries."""
+    n, h, w, c = x.shape
+    if (out_h, out_w) == (1, 1):
+        return jnp.mean(x, axis=(1, 2), keepdims=True)
+    if h % out_h == 0 and w % out_w == 0:
+        kh, kw = h // out_h, w // out_w
+        s = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add,
+            window_dimensions=(1, kh, kw, 1),
+            window_strides=(1, kh, kw, 1),
+            padding='VALID')
+        return s / (kh * kw)
+    # general adaptive pooling: precomputed static bucket edges
+    ys = [(int(np.floor(i * h / out_h)), int(np.ceil((i + 1) * h / out_h))) for i in range(out_h)]
+    xs = [(int(np.floor(j * w / out_w)), int(np.ceil((j + 1) * w / out_w))) for j in range(out_w)]
+    rows = []
+    for y0, y1 in ys:
+        cols = [jnp.mean(x[:, y0:y1, x0:x1, :], axis=(1, 2)) for x0, x1 in xs]
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)
+
+
+def upsample_nearest(x, factor: int):
+    """Nearest-neighbour upsample via reshape-broadcast (layout friendly;
+    avoids gather)."""
+    n, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (n, h, factor, w, factor, c))
+    return x.reshape(n, h * factor, w * factor, c)
+
+
+def linear(x, params):
+    return x @ params['w'] + params['b']
+
+
+def dropout(x, rate: float, rng, train: bool):
+    if not train or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)

@@ -1,0 +1,191 @@
+"""Network = compiled Graph + pure init/apply functions.
+
+The reference walks an ``nn.ModuleList`` at runtime and caches every output
+(model/interpreter.py:38-65). Here the walk happens once at trace time: the
+Python loop below unrolls into a static XLA graph, cached activations are
+dropped as soon as their last consumer has run (graph liveness), and the whole
+thing jits into a single fused program.
+
+Params and BN statistics are plain pytrees: ``params[str(i)]`` /
+``state[str(i)]`` for graph node ``i``. A conv node whose params contain no
+``'bn'`` entry is treated as BN-folded (fused inference form).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pqdet_tpu.model import layers as L
+from pqdet_tpu.model.decode import decode
+from pqdet_tpu.model.graph import Graph, solve_padding
+from pqdet_tpu.model.loss import loss_per_scale, sum_scale_losses
+
+# stride -> (grid-label index, raw-box index) in the 6-tuple target
+# (reference _TARGET_MAP, model/interpreter.py:16-20)
+TARGET_MAP = {8: (0, 3), 16: (1, 4), 32: (2, 5)}
+
+
+class Network:
+    """Graph executor with pure functional init/apply."""
+
+    def __init__(self, graph: Graph):
+        self.graph = graph
+
+    @classmethod
+    def from_cfg(cls, cfg, quant: bool = False) -> 'Network':
+        return cls(Graph.from_cfg(cfg, quant=quant))
+
+    # ---------------------------------------------------------------- init
+
+    def init(self, rng) -> Tuple[Dict, Dict]:
+        params: Dict[str, dict] = {}
+        state: Dict[str, dict] = {}
+        for node in self.graph.nodes:
+            if node.kind == 'convolutional':
+                rng, key = jax.random.split(rng)
+                a = node.attrs
+                p = L.init_conv(key, node.in_channels, a['filters'], a['size'],
+                                groups=a['groups'], bias=not node.has_bn)
+                if node.has_bn:
+                    bn_p, bn_s = L.init_bn(a['filters'])
+                    p['bn'] = bn_p
+                    state[str(node.index)] = bn_s
+                params[str(node.index)] = p
+            elif node.kind == 'fc':
+                rng, key = jax.random.split(rng)
+                a = node.attrs
+                params[str(node.index)] = L.init_linear(key, a['input'], a['output'])
+        return params, state
+
+    # --------------------------------------------------------------- apply
+
+    def apply(self, params: Dict, state: Dict, x: jnp.ndarray,
+              targets: Optional[tuple] = None, train: bool = False,
+              rng=None, compute_dtype=None):
+        """Run the graph. Returns (outputs, new_state).
+
+        ``outputs`` is the list of yolo-head results (decoded preds in
+        inference, per-scale loss tuples when ``targets`` is given), or the
+        final activation when the graph has no yolo heads (classifier).
+        """
+        cache: Dict[int, jnp.ndarray] = {}
+        new_state = dict(state)
+        outputs = []
+        last_use = self.graph.last_use
+
+        for node in self.graph.nodes:
+            i = node.index
+            kind = node.kind
+            p = params.get(str(i))
+            if kind == 'convolutional':
+                a = node.attrs
+                padding = solve_padding(a['size'], a['padding'], a['pad'])
+                x = L.conv2d(x, p['w'], p.get('b'), stride=a['stride'],
+                             padding=padding, groups=a['groups'],
+                             compute_dtype=compute_dtype)
+                if 'bn' in p:
+                    x, bn_s = L.batch_norm(x, p['bn'], state[str(i)], train)
+                    if train:
+                        new_state[str(i)] = bn_s
+                x = L.apply_activation(a['activation'], x)
+            elif kind == 'fc':
+                x = L.linear(x.reshape(x.shape[0], -1), p)
+                x = L.apply_activation(node.attrs['activation'], x)
+            elif kind == 'shortcut':
+                x = x + cache[node.refs[0]]
+                x = L.apply_activation(node.attrs['activation'], x)
+            elif kind == 'scale_channels':
+                x = cache[node.refs[0]] * x
+            elif kind == 'route':
+                srcs = [cache[r] for r in node.refs]
+                x = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
+            elif kind == 'maxpool':
+                a = node.attrs
+                padding = solve_padding(a['size'], a['padding'], a['pad'])
+                x = L.max_pool(x, a['size'], a['stride'], padding)
+            elif kind == 'avgpool':
+                x = L.adaptive_avg_pool(x, *node.out_size)
+            elif kind == 'upsample':
+                x = L.upsample_nearest(x, node.attrs['stride'])
+            elif kind == 'yolo':
+                a = node.attrs
+                pred = decode(x, a['classes'], a['stride'])
+                if targets is None:
+                    x = pred
+                else:
+                    gi, bi = TARGET_MAP[a['stride']]
+                    x = loss_per_scale(
+                        pred, targets[gi], targets[bi],
+                        stride=a['stride'], num_classes=a['classes'],
+                        bbox_loss_type=a['bbox_loss'],
+                        ignore_thresh=a['ignore_thresh'],
+                        l1_loss_gain=a['l1_loss_gain'])
+                outputs.append(x)
+            elif kind == 'dropout':
+                if rng is not None:
+                    rng, key = jax.random.split(rng)
+                else:
+                    key = None
+                x = L.dropout(x, node.attrs['probability'], key, train)
+            else:
+                raise ValueError(f'unknown layer kind: {kind}')
+
+            if i in last_use:
+                cache[i] = x
+            # free activations whose consumers have all run
+            for j in [j for j in cache if last_use.get(j, -1) <= i and j != i]:
+                del cache[j]
+
+        if not outputs:
+            return x, new_state
+        return outputs, new_state
+
+
+class DetectionNetwork(Network):
+    """Detection graph: concat decoded heads for inference, sum losses for
+    training (reference DetectionModel, model/interpreter.py:67-85)."""
+
+    @property
+    def num_classes(self) -> int:
+        return self.graph.yolo_nodes[0].attrs['classes']
+
+    def apply(self, params, state, x, targets=None, train=False, rng=None,
+              compute_dtype=None):
+        outputs, new_state = super().apply(
+            params, state, x, targets=targets, train=train, rng=rng,
+            compute_dtype=compute_dtype)
+        if targets is None:
+            flat = [o.reshape(o.shape[0], -1, o.shape[-1]) for o in outputs]
+            return jnp.concatenate(flat, axis=1), new_state
+        return sum_scale_losses(outputs), new_state
+
+    def infer_fn(self, compute_dtype=None):
+        """A jittable (params, state, images) -> (B, sum HWA, 5+C) closure."""
+        def fn(params, state, images):
+            preds, _ = self.apply(params, state, images,
+                                  compute_dtype=compute_dtype)
+            return preds
+        return fn
+
+
+class ClassifierNetwork(Network):
+    pass
+
+
+def fuse_params(network: Network, params: Dict, state: Dict) -> Dict:
+    """Fold every conv's BN into its weights -> inference-only params pytree
+    (the apply function detects the missing 'bn' entries)."""
+    fused = {}
+    for node in network.graph.nodes:
+        key = str(node.index)
+        if key not in params:
+            continue
+        p = params[key]
+        if node.kind == 'convolutional' and 'bn' in p:
+            fused[key] = L.fold_bn_into_conv(p, p['bn'], state[key])
+        else:
+            fused[key] = p
+    return fused

@@ -1,0 +1,21 @@
+"""Model zoo: programmatic generators that emit darknet-style cfg text for
+the architectures the reference ships as hand-written cfg files
+(model/cfg/*.cfg). Generating them from the published architecture specs
+keeps a single source of truth and lets NAS/pruning reuse the same builder.
+"""
+
+from pqdet_tpu.zoo.builder import CfgBuilder
+from pqdet_tpu.zoo.mobilenetv2 import mobilenetv2_fpn
+from pqdet_tpu.zoo.regnet import regnetx_600m_fpn, regnetx_600m_pan, regnety_400m_fpn
+
+MODEL_ZOO = {
+    'mobilenetv2-fpn': mobilenetv2_fpn,
+    'regnetx-600m-fpn': regnetx_600m_fpn,
+    'regnetx-600m-pan': regnetx_600m_pan,
+    'regnety-400m-fpn': regnety_400m_fpn,
+}
+
+
+def get_cfg(name: str, num_classes: int = 20) -> str:
+    """Return cfg text for a zoo model."""
+    return MODEL_ZOO[name](num_classes=num_classes)

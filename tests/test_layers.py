@@ -1,0 +1,122 @@
+"""Layer numerics vs torch oracles (torch CPU is a test-only dependency)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from pqdet_tpu.model import layers as L
+
+
+def _rand(*shape, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randn(*shape).astype(np.float32)
+
+
+@pytest.mark.parametrize('groups,stride,size,padding', [
+    (1, 1, 3, 1), (1, 2, 3, 1), (4, 1, 3, 1), (8, 2, 3, 1), (1, 1, 1, 0),
+])
+def test_conv2d_vs_torch(groups, stride, size, padding):
+    n, h, w, cin, cout = 2, 8, 8, 8, 16
+    x = _rand(n, h, w, cin)
+    wt = _rand(size, size, cin // groups, cout, seed=1)  # HWIO
+    b = _rand(cout, seed=2)
+    out = L.conv2d(jnp.array(x), jnp.array(wt), jnp.array(b),
+                   stride=stride, padding=padding, groups=groups)
+    # torch: NCHW, OIHW
+    tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    tw = torch.from_numpy(wt.transpose(3, 2, 0, 1))
+    ref = F.conv2d(tx, tw, torch.from_numpy(b), stride=stride,
+                   padding=padding, groups=groups)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_batch_norm_train_and_eval_vs_torch():
+    n, h, w, c = 4, 6, 6, 8
+    x = _rand(n, h, w, c)
+    params, state = L.init_bn(c)
+    gamma = _rand(c, seed=3) + 1.0
+    beta = _rand(c, seed=4)
+    params = {'gamma': jnp.array(gamma), 'beta': jnp.array(beta)}
+
+    bn = torch.nn.BatchNorm2d(c)
+    with torch.no_grad():
+        bn.weight.copy_(torch.from_numpy(gamma))
+        bn.bias.copy_(torch.from_numpy(beta))
+    tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    # train step
+    bn.train()
+    ref = bn(tx).permute(0, 2, 3, 1).detach().numpy()
+    y, new_state = L.batch_norm(jnp.array(x), params, state, train=True)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(new_state['mean']),
+                               bn.running_mean.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state['var']),
+                               bn.running_var.numpy(), rtol=1e-4, atol=1e-5)
+
+    # eval step with updated stats
+    bn.eval()
+    ref = bn(tx).permute(0, 2, 3, 1).detach().numpy()
+    y, _ = L.batch_norm(jnp.array(x), params, new_state, train=False)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_fold_bn_matches_separate():
+    n, h, w, cin, cout = 2, 5, 5, 4, 8
+    x = _rand(n, h, w, cin)
+    conv = {'w': jnp.array(_rand(3, 3, cin, cout, seed=5))}
+    bn_params = {'gamma': jnp.array(_rand(cout, seed=6) + 1.5),
+                 'beta': jnp.array(_rand(cout, seed=7))}
+    bn_state = {'mean': jnp.array(_rand(cout, seed=8)),
+                'var': jnp.array(np.abs(_rand(cout, seed=9)) + 0.5)}
+    y1 = L.conv2d(jnp.array(x), conv['w'], None, padding=1)
+    y1, _ = L.batch_norm(y1, bn_params, bn_state, train=False)
+    fused = L.fold_bn_into_conv(conv, bn_params, bn_state)
+    y2 = L.conv2d(jnp.array(x), fused['w'], fused['b'], padding=1)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-4, atol=1e-4)
+
+
+def test_max_pool_vs_torch():
+    x = _rand(2, 8, 8, 4)
+    for size, stride, pad in [(2, 2, 0), (3, 1, 1), (3, 2, 1)]:
+        out = L.max_pool(jnp.array(x), size, stride, pad)
+        ref = F.max_pool2d(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                           size, stride, pad).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-6)
+
+
+def test_adaptive_avg_pool_vs_torch():
+    x = _rand(2, 7, 9, 4)
+    for out_hw in [(1, 1), (2, 3)]:
+        out = L.adaptive_avg_pool(jnp.array(x), *out_hw)
+        ref = F.adaptive_avg_pool2d(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                                    out_hw).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_upsample_nearest_vs_torch():
+    x = _rand(2, 4, 5, 3)
+    out = L.upsample_nearest(jnp.array(x), 2)
+    ref = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                        scale_factor=2, mode='nearest').permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-6)
+
+
+def test_activations_vs_torch():
+    x = _rand(64) * 4
+    tx = torch.from_numpy(x)
+    cases = {
+        'logistic': torch.sigmoid(tx),
+        'leaky': F.leaky_relu(tx, 0.1),
+        'relu': F.relu(tx),
+        'relu6': F.relu6(tx),
+        'tanh': torch.tanh(tx),
+    }
+    for name, ref in cases.items():
+        out = L.apply_activation(name, jnp.array(x))
+        np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=1e-5, atol=1e-6)
