@@ -1,0 +1,266 @@
+"""Typed, frozen configuration tree (self-contained yacs replacement).
+
+Keeps the reference's two-config contract: this experiment config (yaml +
+CLI dotlist overrides, reference config.py:30-149) names a separate
+darknet-style architecture cfg via ``model.cfg_path`` — or a zoo model name.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, List
+
+import yaml
+
+
+class ConfigNode:
+    """Nested attribute dict with type-checked merging and freezing."""
+
+    def __init__(self, data: Dict[str, Any] = None):
+        object.__setattr__(self, '_frozen', False)
+        object.__setattr__(self, '_data', {})
+        for k, v in (data or {}).items():
+            self._data[k] = ConfigNode(v) if isinstance(v, dict) else v
+
+    # -- attribute access
+    def __getattr__(self, name):
+        data = object.__getattribute__(self, '_data')
+        if name in data:
+            return data[name]
+        raise AttributeError(f'config has no key {name!r}')
+
+    def __setattr__(self, name, value):
+        if self._frozen:
+            raise AttributeError(f'config is frozen; cannot set {name!r}')
+        self._data[name] = value
+
+    def __getitem__(self, name):
+        return self._data[name]
+
+    def __contains__(self, name):
+        return name in self._data
+
+    def keys(self):
+        return self._data.keys()
+
+    def items(self):
+        return self._data.items()
+
+    # -- lifecycle
+    def clone(self) -> 'ConfigNode':
+        return copy.deepcopy(self)
+
+    def freeze(self):
+        object.__setattr__(self, '_frozen', True)
+        for v in self._data.values():
+            if isinstance(v, ConfigNode):
+                v.freeze()
+        return self
+
+    def defrost(self):
+        object.__setattr__(self, '_frozen', False)
+        for v in self._data.values():
+            if isinstance(v, ConfigNode):
+                v.defrost()
+        return self
+
+    # -- merging
+    def _coerce(self, key, old, new):
+        if old is None or new is None:
+            return new
+        if isinstance(old, bool):
+            if isinstance(new, bool):
+                return new
+            if isinstance(new, str):
+                low = new.lower()
+                if low in ('true', 'on', 'yes', '1'):
+                    return True
+                if low in ('false', 'off', 'no', '0'):
+                    return False
+            if isinstance(new, int):
+                return bool(new)
+            raise TypeError(f'{key}: cannot interpret {new!r} as bool')
+        if isinstance(old, float) and isinstance(new, int):
+            return float(new)
+        if isinstance(old, (int, float)) and isinstance(new, str):
+            try:
+                return type(old)(float(new) if '.' in new or 'e' in new.lower() else new)
+            except ValueError:
+                raise TypeError(f'{key}: cannot interpret {new!r} as {type(old).__name__}')
+        if isinstance(old, (list, tuple)) and isinstance(new, (list, tuple)):
+            return list(new)
+        if type(old) is not type(new) and not (
+                isinstance(old, (int, float)) and isinstance(new, (int, float))):
+            raise TypeError(
+                f'{key}: type mismatch ({type(new).__name__} vs {type(old).__name__})')
+        return new
+
+    def merge_dict(self, other: Dict[str, Any], _prefix=''):
+        for k, v in other.items():
+            full = f'{_prefix}{k}'
+            if k not in self._data:
+                raise KeyError(f'unknown config key: {full}')
+            cur = self._data[k]
+            if isinstance(cur, ConfigNode):
+                if not isinstance(v, dict):
+                    raise TypeError(f'{full}: expected a mapping')
+                cur.merge_dict(v, _prefix=full + '.')
+            else:
+                self._data[k] = self._coerce(full, cur, v)
+        return self
+
+    def merge_from_file(self, path: str):
+        with open(path, 'r') as fr:
+            data = yaml.safe_load(fr) or {}
+        return self.merge_dict(data)
+
+    def merge_from_list(self, opts: List[str]):
+        """Merge a flat [key, value, key, value, ...] CLI override list with
+        dotted keys (reference trainer.py:381 cfg.merge_from_list)."""
+        if len(opts) % 2 != 0:
+            raise ValueError('override list must have even length')
+        for key, value in zip(opts[::2], opts[1::2]):
+            node = self
+            parts = key.split('.')
+            for p in parts[:-1]:
+                if not isinstance(node, ConfigNode) or p not in node._data:
+                    raise KeyError(f'unknown config key: {key}')
+                node = node._data[p]
+            leaf = parts[-1]
+            if leaf not in node._data:
+                raise KeyError(f'unknown config key: {key}')
+            cur = node._data[leaf]
+            if isinstance(value, str):
+                try:
+                    value = yaml.safe_load(value)
+                except yaml.YAMLError:
+                    pass
+            node._data[leaf] = node._coerce(key, cur, value)
+        return self
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {k: v.to_dict() if isinstance(v, ConfigNode) else v
+                for k, v in self._data.items()}
+
+    def __repr__(self):
+        return yaml.safe_dump(self.to_dict(), sort_keys=False)
+
+
+VOC_CLASSES = ['aeroplane', 'bicycle', 'bird', 'boat', 'bottle', 'bus',
+               'car', 'cat', 'chair', 'cow', 'diningtable', 'dog', 'horse',
+               'motorbike', 'person', 'pottedplant', 'sheep', 'sofa',
+               'train', 'tvmonitor']
+
+# schema parity with the reference config tree (config.py:30-149), plus a
+# TPU-specific `system` group replacing GPU ids with mesh controls.
+DEFAULTS: Dict[str, Any] = {
+    'system': {
+        'num_workers': 4,          # host-side data pipeline worker threads
+        'data_devices': 0,         # 0 = all local devices in the data mesh
+        'compute_dtype': 'float32',  # 'bfloat16' for MXU-friendly training
+        'prefetch': 2,             # device prefetch depth
+    },
+    'experiment_name': 'VOC',
+    'dataset': {
+        'name': 'VOC',
+        'train_txt_file': '',
+        'eval_txt_file': '',
+        'classes': VOC_CLASSES,
+    },
+    'model': {
+        'cfg_path': 'mobilenetv2-fpn',   # path to a .cfg or a zoo model name
+        'strides': [8, 16, 32],
+        'gt_per_grid': 3,
+        'anchors': [[10, 13], [16, 30], [33, 23], [30, 61], [62, 45],
+                    [59, 119], [116, 90], [156, 198], [373, 326]],
+        'anchors_iou_threshold': 0.3,
+        'max_gt_boxes': 64,        # static pad length for per-scale GT lists
+    },
+    'train': {
+        'input_sizes': [320, 352, 384, 416, 448, 480, 512, 544, 576, 608],
+        'batch_size': 12,
+        'scheduler': 'cosine',
+        'learning_rate_init': 2e-4,
+        'learning_rate_end': 1e-6,
+        'weight_decay': 0.0,
+        'mile_stones': [30, 45],
+        'gamma': 0.1,
+        'warmup_epochs': 1.0,
+        'max_epochs': 80,
+    },
+    'augment': {
+        'mixup_p': 0.5,
+        'color_p': 0.0,
+        'hflip_p': 0.5,
+        'vflip_p': 0.0,
+        'crop_p': 0.75,
+    },
+    'weight': {
+        'dir': 'weights',
+        'backbone': '',
+        'resume': '',
+        'clear_history': False,
+    },
+    'eval': {
+        'after': 30,
+        'input_size': 512,
+        'batch_size': 16,
+        'score_threshold': 0.1,
+        'iou_threshold': 0.45,
+        'map_iou': 0.5,
+        'partial': 0,
+        'max_detections': 256,     # static NMS output size
+    },
+    'sparse': {
+        'switch': False,
+        'ratio': 0.01,
+    },
+    'prune': {
+        'weight': '',
+        'new_cfg': '',
+        'ratio': 0.3,
+    },
+    'quant': {
+        'switch': False,
+        'backend': 'int8',
+        'disable_observer_after': 4,
+        'freeze_bn_after': 8,
+    },
+}
+
+
+def default_config() -> ConfigNode:
+    return ConfigNode(copy.deepcopy(DEFAULTS))
+
+
+def size_fix(size):
+    """int -> (size, size); pairs pass through (reference config.py:7-13)."""
+    if isinstance(size, int):
+        return (size, size)
+    return tuple(size)
+
+
+def sizes_fix(sizes):
+    return [size_fix(s) for s in sizes]
+
+
+def load_config(yaml_path: str = None, opts: List[str] = None,
+                freeze: bool = True) -> ConfigNode:
+    cfg = default_config()
+    if yaml_path:
+        cfg.merge_from_file(yaml_path)
+    if opts:
+        cfg.merge_from_list(list(opts))
+    if freeze:
+        cfg.freeze()
+    return cfg
+
+
+def resolve_model_cfg(cfg: ConfigNode) -> str:
+    """Resolve model.cfg_path into cfg text: a file path or a zoo name."""
+    from pqdet_tpu.zoo import MODEL_ZOO, get_cfg
+    path = cfg.model.cfg_path
+    if path in MODEL_ZOO:
+        return get_cfg(path, num_classes=len(cfg.dataset.classes))
+    with open(path, 'r') as fr:
+        return fr.read()

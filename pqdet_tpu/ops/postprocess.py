@@ -1,0 +1,130 @@
+"""On-device post-processing: box recovery + fixed-shape batched NMS.
+
+The reference recovers boxes with an inverse-letterbox affine then calls
+torchvision's ``batched_nms`` per image with a host round-trip
+(dataset/base_sample.py:98-139, tools.py:540-566). Here both stages are pure
+fixed-shape JAX: recovery is vectorised over the batch, and NMS selects a
+static top-K candidate set and runs greedy class-offset suppression with an
+IoU matrix — no dynamic shapes, no host sync, jit/vmap/pmap friendly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pqdet_tpu.ops.boxes import iou
+
+
+# ----------------------------------------------------------------- recovery
+
+def letterbox_affine(input_size, original_size):
+    """Inverse-affine parameters for letterbox-resized inputs (VOC/COCO,
+    dataset/voc_sample.py:92-95). Returns (delta(B,2) in (h,w) order,
+    ratio(B,1))."""
+    ratio = jnp.min(input_size / original_size, axis=-1, keepdims=True)  # (B,1)
+    delta = jnp.floor((input_size - jnp.round(ratio * original_size)) / 2)
+    return delta, ratio
+
+
+def ratio_pad_affine(input_size, original_size, resize_ratio: float = 1.25,
+                     divisor: int = 32):
+    """Inverse-affine for ResizeRatio+PadNearestDivisor eval inputs
+    (VisDrone, dataset/visdrone_sample.py:84-88)."""
+    padded = jnp.ceil(resize_ratio * original_size / divisor) * divisor
+    delta = jnp.floor((padded - resize_ratio * original_size) / 2)
+    ratio = jnp.full(original_size.shape[:-1] + (1,), resize_ratio,
+                     original_size.dtype)
+    return delta, ratio
+
+
+def recover_bboxes(pred, input_size, original_size, affine=letterbox_affine):
+    """(B, N, 5+C) decoded preds -> (B, N, 4+C) original-image boxes with
+    conf folded into the class scores (reference
+    recover_bboxes_prediction, dataset/base_sample.py:98-139).
+
+    input_size: (2,) model input (h, w); original_size: (B, 2) image (h, w).
+    """
+    num_classes = pred.shape[-1] - 5
+    coor = pred[..., 0:4]
+    conf = pred[..., 4:5]
+    prob = pred[..., 5:]
+
+    delta, ratio = affine(input_size, original_size)
+    # delta is (h, w): x coords subtract delta[..., 1], y subtract delta[..., 0]
+    delta_xyxy = delta[..., [1, 0, 1, 0]][..., None, :]
+    coor = (coor - delta_xyxy) / ratio[..., None, :]
+
+    max_xy = (original_size - 1.0)[..., [1, 0]][..., None, :]
+    xymin = jnp.maximum(coor[..., :2], 0.0)
+    xymax = jnp.minimum(coor[..., 2:], max_xy)
+    scores = prob * conf
+    return jnp.concatenate([xymin, xymax, scores], axis=-1)
+
+
+# ---------------------------------------------------------------------- NMS
+
+class NMSResult(NamedTuple):
+    boxes: jnp.ndarray    # (K, 4) original-image coordinates
+    scores: jnp.ndarray   # (K,)
+    classes: jnp.ndarray  # (K,) int32
+    valid: jnp.ndarray    # (K,) bool — kept & above threshold
+
+
+def nms_single(boxes_scores: jnp.ndarray, score_threshold: float,
+               iou_threshold: float, max_outputs: int = 256) -> NMSResult:
+    """Greedy class-offset NMS for one image, fixed output size.
+
+    boxes_scores: (N, 4+C) from recover_bboxes. Every (box, class) pair with
+    score > threshold is a candidate (a box can survive for several classes),
+    matching torch_nms -> torchvision batched_nms (tools.py:540-566).
+    """
+    boxes = boxes_scores[:, :4]
+    scores = boxes_scores[:, 4:]
+    n, c = scores.shape
+    k = min(max_outputs, n * c)
+
+    flat = scores.reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(flat, k)
+    box_idx = top_idx // c
+    classes = top_idx % c
+    cand = boxes[box_idx]
+    valid = top_scores > score_threshold
+
+    # separate classes by shifting boxes with a data-dependent offset
+    span = jnp.max(boxes) + 1.0
+    shifted = cand + (classes.astype(cand.dtype) * span)[:, None]
+    iou_mat = iou(shifted[:, None, :], shifted[None, :, :])  # (k, k)
+
+    order = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0).squeeze(-1)
+
+    def body(i, keep):
+        alive = keep[i]
+        suppress = (iou_mat[i] > iou_threshold) & (order > i)
+        return jnp.where(alive, keep & ~suppress, keep)
+
+    keep = jax.lax.fori_loop(0, k, body, valid)
+    return NMSResult(cand, top_scores, classes, keep)
+
+
+def nms_batch(boxes_scores: jnp.ndarray, score_threshold: float,
+              iou_threshold: float, max_outputs: int = 256) -> NMSResult:
+    """vmapped NMS over a batch: (B, N, 4+C) -> NMSResult with leading B."""
+    return jax.vmap(
+        lambda bs: nms_single(bs, score_threshold, iou_threshold, max_outputs)
+    )(boxes_scores)
+
+
+def nms_to_numpy(result: NMSResult):
+    """Convert one image's NMSResult to the reference's (M, 6) ndarray
+    [x1, y1, x2, y2, score, class] with only valid rows (host side)."""
+    import numpy as np
+    keep = np.asarray(result.valid)
+    out = np.concatenate([
+        np.asarray(result.boxes)[keep],
+        np.asarray(result.scores)[keep, None],
+        np.asarray(result.classes)[keep, None].astype(np.float32),
+    ], axis=1)
+    return out

@@ -1,0 +1,54 @@
+"""Device mesh + sharding for data-parallel training.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+replicate/scatter/gather (tools.py:216). The TPU-native equivalent is a 1-D
+``data`` mesh: the batch dim is sharded across chips over ICI, parameters
+are replicated, and gradient/batch-norm reductions become XLA collectives
+inserted automatically by jit under sharding constraints (sync-BN across
+shards — documented divergence from per-replica BN; it only helps AP).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+
+
+def make_mesh(num_devices: int = 0, devices=None) -> Mesh:
+    """1-D data mesh over the first ``num_devices`` devices (0 = all)."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch_pytree(mesh: Mesh, batch):
+    """Device_put every leaf with its batch dim sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_pytree(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def pad_batch_to_devices(batch_size: int, n_devices: int) -> int:
+    """Smallest batch >= batch_size divisible by the mesh size."""
+    rem = batch_size % n_devices
+    return batch_size if rem == 0 else batch_size + (n_devices - rem)

@@ -1,0 +1,106 @@
+"""The jitted training step: loss -> grads -> optax update, data-parallel
+over a 1-D mesh.
+
+Replaces the reference's DataParallel forward/backward + manual LR writes
+(trainer.py:204-242): the learning rate is a pure schedule inside the optax
+chain, sparse training's BN-gamma L1 subgradient (trainer.py:236-239) is a
+gradient transform, and batch sharding makes XLA insert the gradient
+all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Set
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pqdet_tpu.model.network import DetectionNetwork
+from pqdet_tpu.parallel.mesh import DATA_AXIS
+
+
+def sparse_bn_gamma_ids(network) -> Set[str]:
+    """Graph node ids whose BN gamma receives the L1 sparsity subgradient —
+    conv+BN layers not protected by `_notprune` (reference
+    tools.get_bn_layers, tools.py:316-333)."""
+    ids = set()
+    for node in network.graph.nodes:
+        if node.kind == 'convolutional' and node.has_bn and not node.notprune:
+            ids.add(str(node.index))
+    return ids
+
+
+def add_sparse_l1(grads, params, sparse_ids: Set[str], ratio: float):
+    """grad(gamma) += ratio * sign(gamma) for the selected BN layers."""
+    out = {}
+    for key, g in grads.items():
+        if key in sparse_ids and 'bn' in g:
+            bn_g = dict(g['bn'])
+            bn_g['gamma'] = bn_g['gamma'] + ratio * jnp.sign(params[key]['bn']['gamma'])
+            g = {**g, 'bn': bn_g}
+        out[key] = g
+    return out
+
+
+def make_optimizer(schedule: Callable, weight_decay: float = 0.0):
+    """Adam with torch-default betas/eps and optional L2 (reference
+    trainer.py:160-163 uses optim.Adam(weight_decay=...), which is L2
+    regularisation added to the gradient, not decoupled AdamW)."""
+    txs = []
+    if weight_decay:
+        txs.append(optax.add_decayed_weights(weight_decay))
+    txs.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    txs.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*txs)
+
+
+def make_train_step(network: DetectionNetwork, optimizer,
+                    sparse_ratio: float = 0.0,
+                    sparse_ids: Optional[Set[str]] = None,
+                    compute_dtype=None):
+    """Build the pure (params, state, opt_state, batch, rng) -> ... step.
+
+    batch: dict with 'image' (B,H,W,3) and 'targets' = 6-tuple of per-scale
+    grid labels + padded raw boxes. jit it with shardings from
+    parallel.mesh (batch sharded on DATA_AXIS, everything else replicated).
+    """
+
+    def loss_fn(params, state, batch, rng):
+        losses, new_state = network.apply(
+            params, state, batch['image'], targets=batch['targets'],
+            train=True, rng=rng, compute_dtype=compute_dtype)
+        return losses['loss'][0], (losses, new_state)
+
+    def train_step(params, state, opt_state, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (losses, new_state)), grads = grad_fn(params, state, batch, rng)
+        if sparse_ratio and sparse_ids:
+            grads = add_sparse_l1(grads, params, sparse_ids, sparse_ratio)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {
+            'loss': losses['loss'][0],
+            'giou_loss': losses['giou_loss'][0],
+            'conf_loss': losses['conf_loss'][0],
+            'class_loss': losses['class_loss'][0],
+            'loss_per_branch': jnp.stack([l[0] for l in losses['loss_per_branch']]),
+        }
+        return params, new_state, opt_state, metrics
+
+    return train_step
+
+
+def jit_train_step(train_step, mesh):
+    """jit with explicit shardings: batch sharded over the data axis,
+    params/state/opt replicated; donates the carried pytrees."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, repl, repl, data, repl),
+        out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1, 2),
+    )
