@@ -1,0 +1,171 @@
+"""Eval / benchmark / summary / time CLI (reference test.py:213-250).
+
+    python -m pqdet_tpu.cli.bench eval --yaml ... [--weight ...]
+    python -m pqdet_tpu.cli.bench benchmark --yaml ... --weight ...
+    python -m pqdet_tpu.cli.bench summary [--cfg zoo-name|file.cfg] [--size 512]
+    python -m pqdet_tpu.cli.bench time [--cfg ...] [--bs 1] [--size 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def cmd_summary(args, cfg):
+    from pqdet_tpu.config import resolve_model_cfg
+    from pqdet_tpu.model.graph import Graph
+    from pqdet_tpu.utils.profiling import clever_format, count_macs_params
+
+    text = resolve_model_cfg(cfg)
+    graph = Graph.from_cfg(text)
+    macs, params = count_macs_params(graph, (args.size, args.size))
+    print(f'flops:{clever_format(macs)}, params: {clever_format(params)}')
+
+
+def _build_forward(cfg, weight, compute_dtype=None):
+    import jax
+    import jax.numpy as jnp
+    from pqdet_tpu.config import resolve_model_cfg
+    from pqdet_tpu.model.factory import build_detector, inference_params
+
+    cfg_text = None if weight else resolve_model_cfg(cfg)
+    network, params, state, _ = build_detector(cfg_text, weight_path=weight or None)
+    fused = inference_params(network, params, state, dtype=compute_dtype)
+
+    @jax.jit
+    def forward(p, x):
+        preds, _ = network.apply(p, {}, x, compute_dtype=compute_dtype)
+        return preds
+
+    return network, fused, forward
+
+
+def cmd_time(args, cfg):
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if args.bf16 else None
+    _, fused, forward = _build_forward(cfg, args.weight, dtype)
+    x = jnp.asarray(np.zeros((args.bs, args.size, args.size, 3), np.float32))
+    for _ in range(10):
+        forward(fused, x).block_until_ready()
+    ts = []
+    for _ in range(64):
+        t0 = time.perf_counter()
+        forward(fused, x).block_until_ready()
+        ts.append((time.perf_counter() - t0) * 1e3)
+    print(f'{np.mean(ts):.3f}ms (p50 {np.percentile(ts, 50):.3f}ms) '
+          f'bs={args.bs} size={args.size}')
+
+
+def cmd_eval(args, cfg):
+    from pqdet_tpu.data.eval_data import EvalData
+    from pqdet_tpu.evaluation.evaluator import Evaluator, format_ap_table
+    predict = _make_predict(args, cfg)
+    data = EvalData(cfg)
+    evaluator = Evaluator(predict, data, cfg)
+    ap = evaluator.evaluate()
+    print(format_ap_table(ap, verbose=True))
+
+
+def _make_predict(args, cfg):
+    import jax
+    import jax.numpy as jnp
+    from pqdet_tpu.config import size_fix
+    from pqdet_tpu.data.samples import RECOVER_AFFINE_REGISTER
+    from pqdet_tpu.ops.postprocess import (nms_batch, nms_to_numpy,
+                                           recover_bboxes)
+
+    network, fused, forward = _build_forward(cfg, args.weight)
+    affine = RECOVER_AFFINE_REGISTER[cfg.dataset.name.lower()]
+    input_size = np.array(size_fix(cfg.eval.input_size), np.float32)
+
+    @jax.jit
+    def run(p, x, shapes):
+        preds, _ = network.apply(p, {}, x)
+        rec = recover_bboxes(preds, jnp.asarray(input_size), shapes, affine=affine)
+        return nms_batch(rec, cfg.eval.score_threshold, cfg.eval.iou_threshold,
+                         cfg.eval.max_detections)
+
+    def predict(batch):
+        res = run(fused, jnp.asarray(batch['image']), jnp.asarray(batch['shape']))
+        return [nms_to_numpy(jax.tree.map(lambda x: x[i], res))
+                for i in range(batch['count'])]
+
+    return predict
+
+
+def cmd_benchmark(args, cfg):
+    """Per-stage timing over real eval images (reference test.py:136-193):
+    FORWARD (net only), POST (recover+NMS on device), TOTAL."""
+    import jax
+    import jax.numpy as jnp
+    from pqdet_tpu.config import size_fix
+    from pqdet_tpu.data.eval_data import EvalData
+    from pqdet_tpu.data.samples import RECOVER_AFFINE_REGISTER
+    from pqdet_tpu.ops.postprocess import nms_batch, recover_bboxes
+    from pqdet_tpu.utils.meters import TicToc
+
+    network, fused, forward = _build_forward(cfg, args.weight)
+    affine = RECOVER_AFFINE_REGISTER[cfg.dataset.name.lower()]
+    input_size = np.array(size_fix(cfg.eval.input_size), np.float32)
+
+    @jax.jit
+    def post(preds, shapes):
+        rec = recover_bboxes(preds, jnp.asarray(input_size), shapes, affine=affine)
+        return nms_batch(rec, cfg.eval.score_threshold, cfg.eval.iou_threshold,
+                         cfg.eval.max_detections)
+
+    data = EvalData(cfg)
+    fw_tt, post_tt, total_tt = TicToc('fwd'), TicToc('post'), TicToc('total')
+    n_img = 0
+    for i, batch in enumerate(data.batches(cfg.system.num_workers)):
+        x = jnp.asarray(batch['image'])
+        shapes = jnp.asarray(batch['shape'])
+        if i == 0:  # compile
+            post(forward(fused, x), shapes).valid.block_until_ready()
+        total_tt.tic()
+        fw_tt.tic()
+        preds = forward(fused, x)
+        preds.block_until_ready()
+        fw_tt.toc()
+        post_tt.tic()
+        post(preds, shapes).valid.block_until_ready()
+        post_tt.toc()
+        total_tt.toc()
+        n_img += batch['count']
+        if args.limit and n_img >= args.limit:
+            break
+    for tt in (total_tt, fw_tt, post_tt):
+        s = tt.statistics()
+        print('{}: mean {:.2f}ms/batch ({:.2f}ms/img over {} imgs)'.format(
+            s['name'], s['mean'] / 1e6, s['mean'] / 1e6 / max(
+                cfg.eval.batch_size, 1), n_img))
+
+
+def main():
+    parser = argparse.ArgumentParser(description='eval/benchmark CLI')
+    parser.add_argument('mode', choices=['eval', 'benchmark', 'summary', 'time'])
+    parser.add_argument('--yaml', default=None)
+    parser.add_argument('--weight', default='')
+    parser.add_argument('--cfg', default='')
+    parser.add_argument('--size', type=int, default=512)
+    parser.add_argument('--bs', type=int, default=1)
+    parser.add_argument('--bf16', action='store_true')
+    parser.add_argument('--limit', type=int, default=100)
+    args, rest = parser.parse_known_args()
+    args.opts = rest  # trailing config overrides: key value [...]
+
+    from pqdet_tpu.config import load_config
+    cfg = load_config(args.yaml, args.opts, freeze=False)
+    if args.cfg:
+        cfg.model.cfg_path = args.cfg
+    cfg.freeze()
+
+    {'eval': cmd_eval, 'benchmark': cmd_benchmark,
+     'summary': cmd_summary, 'time': cmd_time}[args.mode](args, cfg)
+
+
+if __name__ == '__main__':
+    main()

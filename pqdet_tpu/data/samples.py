@@ -1,0 +1,258 @@
+"""Per-dataset sample getters + registries.
+
+Mirrors the reference registries (dataset/__init__.py:5-21): a sample getter
+parses labels + wires augmentation per dataset; eval-augment factories
+preprocess inference inputs; recover entries give the matching on-device
+inverse affine (pqdet_tpu.ops.postprocess).
+
+Label formats (parity):
+- VOC: per-image XML next to JPEGImages (difficult flag honoured,
+  dataset/voc_sample.py:24-48)
+- COCO: darknet txt, relative (cls, cx, cy, w, h) (dataset/coco_sample.py:18-41)
+- VisDrone: csv txt (x, y, w, h, score, category, ...); categories 0/11
+  dropped, score->difficulty (dataset/visdrone_sample.py:19-45)
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable, Optional, Sequence
+from xml.etree.ElementTree import parse as xml_parse
+
+import cv2
+import numpy as np
+
+from pqdet_tpu.data import augment
+from pqdet_tpu.ops.postprocess import letterbox_affine, ratio_pad_affine
+
+
+class BaseSampleGetter:
+    """Loads (image, labels) by image path; mode in 'train'/'eval'/'test'."""
+
+    def __init__(self, mode: str = 'train',
+                 classes: Optional[Sequence[str]] = None):
+        self.mode = mode
+        self.cls_to_idx = {c: i for i, c in enumerate(classes)} if classes else None
+        self.train_augment = augment.Empty()
+        self.eval_augment = augment.Empty()
+        self.compose_augment = None
+
+    def __call__(self, img_path: str):
+        return {'train': self.train, 'eval': self.eval, 'test': self.test}[self.mode](img_path)
+
+    @property
+    def is_train(self):
+        return self.mode == 'train'
+
+    @staticmethod
+    def image(img_path: str) -> np.ndarray:
+        img = cv2.imread(img_path)
+        if img is None:
+            raise FileNotFoundError(f'image not found: {img_path}')
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    @staticmethod
+    def shape(image: np.ndarray) -> np.ndarray:
+        return np.array(image.shape[:2], np.float32)  # (h, w)
+
+    def label(self, img_path: str):
+        raise NotImplementedError
+
+    def test(self, img_path: str):
+        image = self.image(img_path)
+        return image, self.shape(image)
+
+    def base_train(self, img_path: str):
+        image = self.image(img_path)
+        bboxes = self.label(img_path)
+        return self.train_augment(image, bboxes)
+
+    def train(self, img_path: str):
+        image, bboxes = self.base_train(img_path)
+        if self.compose_augment is not None:
+            image, bboxes = self.compose_augment(image, bboxes)
+        return image, bboxes
+
+    def eval(self, img_path: str):
+        image = self.image(img_path)
+        shape = self.shape(image)
+        image, _ = self.eval_augment(image, [])
+        bboxes, diffs = self.label(img_path)
+        return image, os.path.basename(img_path), shape, bboxes, diffs
+
+
+def _standard_train_chain(augment_cfg, input_size, extra_head=()):
+    return augment.Compose([
+        *extra_head,
+        augment.RandomHFlip(p=augment_cfg.hflip_p),
+        augment.RandomVFlip(p=augment_cfg.vflip_p),
+        augment.RandomSafeCrop(p=augment_cfg.crop_p),
+        augment.ColorJitter(p=augment_cfg.color_p),
+        augment.Resize(input_size),
+        augment.Normalize(),
+    ])
+
+
+class VOCSampleGetter(BaseSampleGetter):
+
+    def label(self, img_path: str):
+        label_path = img_path.replace('JPEGImages', 'Annotations') \
+            .replace('.jpg', '.xml')
+        root = xml_parse(label_path).getroot()
+        bbs, diffs = [], []
+        for obj in root.findall('object'):
+            diff = int(obj.find('difficult').text)
+            if self.is_train and diff == 1:
+                continue
+            cls_idx = self.cls_to_idx[obj.find('name').text]
+            bb = obj.find('bndbox')
+            bbs.append([float(bb.find(k).text) for k in
+                        ('xmin', 'ymin', 'xmax', 'ymax')] + [cls_idx])
+            diffs.append(diff)
+        bbs = np.array(bbs, np.float32).reshape(-1, 5)
+        if self.is_train:
+            return bbs
+        return bbs, np.array(diffs)
+
+    def set_train_augment(self, augment_cfg, input_size, img_path_sampler):
+        self.train_augment = _standard_train_chain(augment_cfg, input_size)
+        sampler = lambda: self.base_train(img_path_sampler())
+        self.compose_augment = augment.Compose([
+            augment.Mixup(sampler, p=augment_cfg.mixup_p, beta=1.5),
+        ])
+        return self
+
+    def set_eval_augment(self, input_size):
+        self.eval_augment = eval_augment_voc(input_size)
+        return self
+
+
+def eval_augment_voc(input_size):
+    return augment.Compose([
+        augment.Resize(input_size),
+        augment.Normalize(),
+    ])
+
+
+class COCOSampleGetter(BaseSampleGetter):
+
+    def label(self, img_path: str):
+        label_path = img_path.replace('images', 'labels').replace('.jpg', '.txt')
+        bbs = []
+        with open(label_path, 'r') as fr:
+            for line in fr:
+                parts = line.split()
+                if not parts:
+                    continue
+                cls_idx = int(parts[0])
+                cx, cy, w, h = map(float, parts[1:5])
+                bbs.append([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2, cls_idx])
+        bbs = np.array(bbs, np.float32).reshape(-1, 5)
+        if self.is_train:
+            return bbs
+        return bbs, np.zeros(len(bbs))
+
+    @staticmethod
+    def _to_absolute(bboxes, shape):
+        bboxes[:, :4] *= np.tile(shape[[1, 0]], 2)
+        return bboxes
+
+    def base_train(self, img_path: str):
+        image = self.image(img_path)
+        bboxes = self._to_absolute(self.label(img_path), self.shape(image))
+        return self.train_augment(image, bboxes)
+
+    def set_train_augment(self, augment_cfg, input_size, img_path_sampler):
+        self.train_augment = _standard_train_chain(augment_cfg, input_size)
+        sampler = lambda: self.base_train(img_path_sampler())
+        self.compose_augment = augment.Compose([
+            augment.Mixup(sampler, p=augment_cfg.mixup_p, beta=1.5),
+        ])
+        return self
+
+    def set_eval_augment(self, input_size):
+        self.eval_augment = eval_augment_coco(input_size)
+        return self
+
+    def eval(self, img_path: str):
+        image = self.image(img_path)
+        shape = self.shape(image)
+        bboxes, diffs = self.label(img_path)
+        bboxes = self._to_absolute(bboxes, shape)
+        image, _ = self.eval_augment(image, [])
+        return image, os.path.basename(img_path), shape, bboxes, diffs
+
+
+eval_augment_coco = eval_augment_voc
+
+
+class VisDroneSampleGetter(BaseSampleGetter):
+
+    def label(self, img_path: str):
+        label_path = img_path.replace('images', 'annotations') \
+            .replace('.jpg', '.txt')
+        bbs, diffs = [], []
+        with open(label_path, 'r') as fr:
+            for line in fr:
+                ann = line.split(',')
+                if len(ann) < 6 or int(ann[5]) in (0, 11):
+                    continue  # ignored-regions / others categories
+                diff = 0 if int(ann[4]) == 1 else 1
+                if self.is_train and diff == 1:
+                    continue
+                x, y, w, h = (int(ann[i]) for i in range(4))
+                bbs.append([float(x), float(y), float(x + w), float(y + h),
+                            int(ann[5]) - 1])
+                diffs.append(diff)
+        bbs = np.array(bbs, np.float32).reshape(-1, 5)
+        if self.is_train:
+            return bbs
+        return bbs, np.array(diffs)
+
+    def set_train_augment(self, augment_cfg, input_size, img_path_sampler):
+        self.train_augment = augment.Compose([
+            augment.RandomCrop((416, 416), p=1.0),
+            augment.RandomHFlip(p=augment_cfg.hflip_p),
+            augment.RandomVFlip(p=augment_cfg.vflip_p),
+            augment.ColorJitter(p=augment_cfg.color_p),
+            augment.Resize(input_size),
+            augment.Normalize(),
+        ])
+        sampler = lambda: self.base_train(img_path_sampler())
+        self.compose_augment = augment.Compose([
+            augment.Mixup(sampler, p=augment_cfg.mixup_p, beta=1.5),
+        ])
+        return self
+
+    def set_eval_augment(self, _input_size):
+        self.eval_augment = eval_augment_visdrone(_input_size)
+        return self
+
+
+def eval_augment_visdrone(_input_size):
+    return augment.Compose([
+        augment.ResizeRatio(1.25),
+        augment.PadNearestDivisor(),
+        augment.Normalize(),
+    ])
+
+
+SAMPLE_GETTER_REGISTER = {
+    'voc': VOCSampleGetter,
+    'coco': COCOSampleGetter,
+    'visdrone': VisDroneSampleGetter,
+}
+
+EVAL_AUGMENT_REGISTER = {
+    'voc': eval_augment_voc,
+    'coco': eval_augment_coco,
+    'visdrone': eval_augment_visdrone,
+}
+
+# dataset name -> on-device inverse affine for pqdet_tpu.ops.postprocess
+RECOVER_AFFINE_REGISTER = {
+    'voc': letterbox_affine,
+    'coco': letterbox_affine,
+    'visdrone': functools.partial(ratio_pad_affine, resize_ratio=1.25, divisor=32),
+}

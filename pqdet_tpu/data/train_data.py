@@ -1,0 +1,189 @@
+"""Training data pipeline: epoch planning, label assignment, batching.
+
+Replaces the reference's torch DataLoader worker processes
+(dataset/train_dataset.py + trainer.py:124-139) with a thread-pool batch
+assembler feeding a device prefetcher. Thread (not process) workers fit
+here because cv2/numpy release the GIL in the heavy kernels and JAX wants
+one process per host.
+
+Epoch plan parity (train_dataset.py:78-84): shuffle WITH replacement over
+the image list, one multi-scale input size per batch drawn from
+train.input_sizes, first batch forced to the largest size (memory
+high-water-mark first). Static shapes for jit: labels are per-scale grids,
+raw GT boxes are zero-padded to model.max_gt_boxes.
+"""
+
+from __future__ import annotations
+
+import random
+import threading
+from math import ceil
+from typing import Iterator, List, Tuple
+
+import numpy as np
+
+from pqdet_tpu.config import sizes_fix
+from pqdet_tpu.data.samples import SAMPLE_GETTER_REGISTER
+from pqdet_tpu.ops.boxes import iou_xywh_np
+
+
+def smooth_onehot(num_classes: int, index: int, deta: float = 0.01) -> np.ndarray:
+    # label smoothing, reference train_dataset.py:126-130
+    onehot = np.full(num_classes, deta / num_classes, np.float32)
+    onehot[index] += 1.0 - deta
+    return onehot
+
+
+def assign_labels(bboxes: np.ndarray, input_size: Tuple[int, int],
+                  strides: np.ndarray, anchors: np.ndarray,
+                  num_classes: int, gt_per_grid: int = 3,
+                  iou_threshold: float = 0.3, max_gt: int = 64):
+    """GT boxes -> per-scale grid labels + padded raw box lists.
+
+    bboxes: (N, 6) [x1, y1, x2, y2, class, mixup_weight].
+    Returns 3 label grids (H, W, A, 6+C) and 3 padded (max_gt, 4) box arrays.
+    Assignment parity with reference create_label (train_dataset.py:109-150):
+    per GT box, anchors at the box's center cell with IoU(wh) > threshold
+    get it (argmax fallback when none clear the bar).
+    """
+    out_sizes = [(input_size[0] // s, input_size[1] // s) for s in strides]
+    labels = [np.zeros((h, w, gt_per_grid, 6 + num_classes), np.float32)
+              for h, w in out_sizes]
+    for lab in labels:
+        lab[..., -1] = 1.0  # default mixup weight
+    raw = [[] for _ in strides]
+
+    for bbox in bboxes:
+        coor = bbox[:4]
+        cls_idx = int(bbox[4])
+        mixw = bbox[5]
+        xywh = np.concatenate([(coor[2:] + coor[:2]) * 0.5,
+                               coor[2:] - coor[:2]])
+        onehot = smooth_onehot(num_classes, cls_idx)
+
+        # center cell per scale + anchor IoU in (cx, cy, w, h) space
+        xy_idx = (xywh[:2][:, None] // strides).astype(np.int32).T  # (S, 2)
+        centers = (xy_idx.astype(np.float32) + 0.5) * strides[:, None]
+        anchor_boxes = np.concatenate(
+            [np.repeat(centers, gt_per_grid, axis=0), anchors], axis=-1)
+        ious = iou_xywh_np(xywh, anchor_boxes)
+        mask = ious > iou_threshold
+        if not mask.any():
+            mask[ious.argmax()] = True
+
+        entry = np.concatenate([coor, [1.0], onehot, [mixw]])
+        for i in np.nonzero(mask)[0]:
+            scale, anchor = divmod(i, gt_per_grid)
+            x, y = xy_idx[scale]
+            h, w = out_sizes[scale]
+            if 0 <= y < h and 0 <= x < w:
+                labels[scale][y, x, anchor, :] = entry
+                raw[scale].append(coor)
+
+    padded = []
+    for boxes in raw:
+        arr = np.zeros((max_gt, 4), np.float32)
+        if boxes:
+            boxes = np.stack(boxes)[:max_gt]
+            arr[:len(boxes)] = boxes
+        padded.append(arr)
+    return labels, padded
+
+
+class TrainData:
+    """Epoch-planned training data source (one sample at a time)."""
+
+    def __init__(self, config):
+        self._name = config.dataset.name.lower()
+        self._input_sizes = sizes_fix(config.train.input_sizes)
+        self._strides = np.array(config.model.strides)
+        self._batch_size = config.train.batch_size
+        self._classes = list(config.dataset.classes)
+        self._num_classes = len(self._classes)
+        self._gt_per_grid = config.model.gt_per_grid
+        self._anchors = np.array(config.model.anchors, np.float32)
+        self._iou_threshold = config.model.anchors_iou_threshold
+        self._max_gt = config.model.max_gt_boxes
+
+        with open(config.dataset.train_txt_file, 'r') as fr:
+            self._imgs = [l.strip() for l in fr if l.strip()]
+        self._num_imgs = len(self._imgs)
+        # per-thread current input size: batches at different sizes may
+        # assemble concurrently in the prefetcher
+        self._tls = threading.local()
+
+        self.sample_getter = SAMPLE_GETTER_REGISTER[self._name](
+            mode='train', classes=self._classes,
+        ).set_train_augment(config.augment, self._current_input_size,
+                            self._sample_img_path)
+        self.init_shuffle()
+
+    @property
+    def length(self):
+        return self._num_imgs
+
+    @property
+    def batches_per_epoch(self):
+        return ceil(self._num_imgs / self._batch_size)
+
+    def __len__(self):
+        return self._length
+
+    def init_shuffle(self):
+        n_batches = self.batches_per_epoch
+        self._length = n_batches * self._batch_size
+        self._indexes = random.choices(range(self._num_imgs), k=self._length)
+        self._sizes = random.choices(self._input_sizes, k=n_batches)
+        largest = int(np.argmax([h * w for h, w in self._input_sizes]))
+        self._sizes[0] = self._input_sizes[largest]
+        self.input_size = self._sizes[0]
+
+    def _current_input_size(self):
+        return getattr(self._tls, 'input_size', self.input_size)
+
+    def _sample_img_path(self):
+        return self._imgs[random.randint(0, self._num_imgs - 1)]
+
+    def get(self, index: int):
+        """One training sample at the batch's planned size: (image CHW-free
+        HWC float32, labels(3), padded boxes(3))."""
+        size = self._sizes[index // self._batch_size]
+        self._tls.input_size = size
+        image, bboxes = self.sample_getter(self._imgs[self._indexes[index]])
+        if len(bboxes) == 0:
+            bboxes = np.zeros((0, 6), np.float32)
+        labels, padded = assign_labels(
+            bboxes, size, self._strides, self._anchors,
+            self._num_classes, self._gt_per_grid, self._iou_threshold,
+            self._max_gt)
+        return image.astype(np.float32), labels, padded
+
+    def batch_indices(self) -> List[List[int]]:
+        b = self._batch_size
+        return [list(range(i * b, (i + 1) * b)) for i in range(self.batches_per_epoch)]
+
+
+def make_batch(data: TrainData, indices: List[int], pool=None) -> dict:
+    """Assemble one batch dict {'image', 'targets'} from sample indices."""
+    samples = list(pool.map(data.get, indices)) if pool is not None \
+        else [data.get(i) for i in indices]
+    images = np.stack([s[0] for s in samples])
+    labels = [np.stack([s[1][k] for s in samples]) for k in range(3)]
+    boxes = [np.stack([s[2][k] for s in samples]) for k in range(3)]
+    return {'image': images, 'targets': tuple(labels + boxes)}
+
+
+def epoch_batches(data: TrainData, num_workers: int = 4) -> Iterator[dict]:
+    """Iterate one epoch of host batches using a thread pool, prefetching
+    one batch ahead of the consumer."""
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
+        batches = data.batch_indices()
+        pending = None
+        for idx_list in batches:
+            fut = pool.submit(make_batch, data, idx_list)
+            if pending is not None:
+                yield pending.result()
+            pending = fut
+        if pending is not None:
+            yield pending.result()

@@ -1,0 +1,72 @@
+"""Model factory: build a network + weights from config / checkpoint.
+
+Mirrors the reference build_model state machine (tools.py:158-243):
+normal -> (fuse + fake-quant QAT) -> quantized, driven by the checkpoint's
+'type' field and the qat/quantized flags. A checkpoint with no cfg path
+rebuilds its architecture from the embedded cfg text.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+
+from pqdet_tpu.model.network import DetectionNetwork, fuse_params
+from pqdet_tpu.train.checkpoint import (load_backbone_into, load_checkpoint,
+                                        load_weights_into)
+
+
+def build_detector(cfg_text: Optional[str] = None,
+                   weight_path: Optional[str] = None,
+                   backbone_path: Optional[str] = None,
+                   clear_history: bool = False,
+                   qat: bool = False,
+                   quantized: bool = False,
+                   rng_seed: int = 0):
+    """Returns (network, params, state, info dict).
+
+    info holds {step, AP, type, cfg_text} from the checkpoint (step=0 when
+    starting fresh or clear_history).
+    """
+    info: Dict = {'step': 0, 'AP': None, 'type': 'normal'}
+    ckpt = None
+    if weight_path:
+        ckpt = load_checkpoint(weight_path)
+        info['step'] = 0 if clear_history else int(ckpt.get('step', 0))
+        ap = ckpt.get('AP', -1.0)
+        info['AP'] = None if ap is None or ap < 0 else float(ap)
+        info['type'] = ckpt.get('type', 'normal')
+
+    if not cfg_text:
+        if ckpt is None:
+            raise ValueError('need a model cfg or a checkpoint embedding one')
+        cfg_text = ckpt['cfg']
+    info['cfg_text'] = cfg_text
+
+    needs_quant_graph = qat or quantized or info['type'] in ('qat', 'quant')
+    network = DetectionNetwork.from_cfg(cfg_text, quant=needs_quant_graph)
+    params, state = network.init(jax.random.PRNGKey(rng_seed))
+
+    if backbone_path:
+        params, state = load_backbone_into(params, state,
+                                           load_checkpoint(backbone_path))
+    if ckpt is not None and info['type'] == 'normal':
+        params, state = load_weights_into(params, state, ckpt)
+
+    if needs_quant_graph:
+        from pqdet_tpu.compress.qat import prepare_qat_state
+        params, state = prepare_qat_state(network, params, state)
+        if ckpt is not None and info['type'] in ('qat', 'quant'):
+            params, state = load_weights_into(params, state, ckpt)
+
+    return network, params, state, info
+
+
+def inference_params(network: DetectionNetwork, params, state,
+                     dtype=None) -> Dict:
+    """BN-folded (and optionally downcast) params for the inference path."""
+    fused = fuse_params(network, params, state)
+    if dtype is not None:
+        fused = jax.tree.map(lambda x: x.astype(dtype), fused)
+    return fused

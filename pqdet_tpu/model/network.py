@@ -64,17 +64,24 @@ class Network:
 
     def apply(self, params: Dict, state: Dict, x: jnp.ndarray,
               targets: Optional[tuple] = None, train: bool = False,
-              rng=None, compute_dtype=None):
+              rng=None, compute_dtype=None, quant_ctx=None):
         """Run the graph. Returns (outputs, new_state).
 
         ``outputs`` is the list of yolo-head results (decoded preds in
         inference, per-scale loss tuples when ``targets`` is given), or the
         final activation when the graph has no yolo heads (classifier).
+
+        ``quant_ctx`` (compress.qat.QuantCtx): fake-quant hooks for QAT —
+        input quantisation, per-channel weight fake-quant, and activation
+        observers on quantised edges (the torch QuantStub/FloatFunctional
+        analogue, reference model/interpreter.py:27-53).
         """
         cache: Dict[int, jnp.ndarray] = {}
         new_state = dict(state)
         outputs = []
         last_use = self.graph.last_use
+        if quant_ctx is not None:
+            x = quant_ctx.quantize_input(x)
 
         for node in self.graph.nodes:
             i = node.index
@@ -83,7 +90,8 @@ class Network:
             if kind == 'convolutional':
                 a = node.attrs
                 padding = solve_padding(a['size'], a['padding'], a['pad'])
-                x = L.conv2d(x, p['w'], p.get('b'), stride=a['stride'],
+                w = p['w'] if quant_ctx is None else quant_ctx.fake_weights(str(i), p['w'])
+                x = L.conv2d(x, w, p.get('b'), stride=a['stride'],
                              padding=padding, groups=a['groups'],
                              compute_dtype=compute_dtype)
                 if 'bn' in p:
@@ -133,6 +141,9 @@ class Network:
             else:
                 raise ValueError(f'unknown layer kind: {kind}')
 
+            if quant_ctx is not None and kind != 'yolo':
+                x = quant_ctx.observe_output(str(i), x)
+
             if i in last_use:
                 cache[i] = x
             # free activations whose consumers have all run
@@ -153,10 +164,10 @@ class DetectionNetwork(Network):
         return self.graph.yolo_nodes[0].attrs['classes']
 
     def apply(self, params, state, x, targets=None, train=False, rng=None,
-              compute_dtype=None):
+              compute_dtype=None, quant_ctx=None):
         outputs, new_state = super().apply(
             params, state, x, targets=targets, train=train, rng=rng,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, quant_ctx=quant_ctx)
         if targets is None:
             flat = [o.reshape(o.shape[0], -1, o.shape[-1]) for o in outputs]
             return jnp.concatenate(flat, axis=1), new_state

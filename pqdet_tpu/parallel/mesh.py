@@ -52,3 +52,13 @@ def pad_batch_to_devices(batch_size: int, n_devices: int) -> int:
     """Smallest batch >= batch_size divisible by the mesh size."""
     rem = batch_size % n_devices
     return batch_size if rem == 0 else batch_size + (n_devices - rem)
+
+
+def fit_mesh_to_batch(batch_size: int, num_devices: int = 0) -> int:
+    """Largest device count <= available that divides the batch (the batch
+    dim must shard evenly; a bs-12 job on 8 chips runs data-parallel x4)."""
+    avail = num_devices or len(jax.devices())
+    for n in range(min(avail, batch_size), 0, -1):
+        if batch_size % n == 0:
+            return n
+    return 1

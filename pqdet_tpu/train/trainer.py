@@ -1,0 +1,327 @@
+"""Trainer: the full training loop (reference trainer.py:18-368).
+
+Per-epoch flow parity: multi-scale host batches -> jitted sharded train
+step (one jit cache entry per input size) -> loss meters with 1/5-epoch
+dashboard prints -> eval past eval.after -> checkpoint each epoch (AP in
+the filename). Sparse training adds the BN-gamma L1 grad transform and the
+quantile printout; QAT threads fake-quant hooks with the observer/BN freeze
+schedule; run_prune / run_nas apply the reference's fine-tune presets.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pqdet_tpu.config import resolve_model_cfg, size_fix
+from pqdet_tpu.data.eval_data import EvalData
+from pqdet_tpu.data.samples import RECOVER_AFFINE_REGISTER
+from pqdet_tpu.data.train_data import TrainData, epoch_batches
+from pqdet_tpu.evaluation.evaluator import Evaluator, format_ap_table
+from pqdet_tpu.model.factory import build_detector, inference_params
+from pqdet_tpu.ops.postprocess import nms_batch, nms_to_numpy, recover_bboxes
+from pqdet_tpu.parallel.mesh import (batch_sharding, make_mesh, replicated)
+from pqdet_tpu.train.checkpoint import save_checkpoint
+from pqdet_tpu.train.schedule import build_schedule
+from pqdet_tpu.train.step import (jit_train_step, make_optimizer,
+                                  make_train_step, sparse_bn_gamma_ids)
+from pqdet_tpu.utils.meters import AverageMeter, TicToc
+
+
+class Trainer:
+
+    def __init__(self, config):
+        self.config = config
+        self.cfg_text: Optional[str] = None
+        self.AP = None
+        self.global_step = 0
+        self.init_epoch = 0
+
+        c = config
+        self._max_epochs = c.train.max_epochs
+        self._warmup_epochs = c.train.warmup_epochs
+        self._init_lr = c.train.learning_rate_init
+        self._eval_after = c.eval.after
+        self._sparse = c.sparse.switch
+        self._sparse_ratio = c.sparse.ratio
+        self._quant = c.quant.switch
+        self._weights_dir = os.path.join(c.weight.dir, c.experiment_name)
+        self._weight_base_name = 'model'
+        self._resume = c.weight.resume
+        self._backbone = c.weight.backbone
+        self._clear_history = c.weight.clear_history
+        self._num_workers = c.system.num_workers
+        self._compute_dtype = {'float32': None,
+                               'bfloat16': jnp.bfloat16}[c.system.compute_dtype]
+
+        self.dataload_tt = TicToc()
+        self.model_tt = TicToc()
+        self.epoch_tt = TicToc()
+
+    # ------------------------------------------------------------------ init
+
+    def init_all(self):
+        if self.cfg_text is None:
+            self.cfg_text = resolve_model_cfg(self.config)
+        from pqdet_tpu.parallel.mesh import fit_mesh_to_batch
+        n_dev = fit_mesh_to_batch(self.config.train.batch_size,
+                                  self.config.system.data_devices)
+        self.mesh = make_mesh(n_dev)
+        self._repl = replicated(self.mesh)
+        self._data_sh = batch_sharding(self.mesh)
+
+        self.train_data = TrainData(self.config)
+        self.eval_data = EvalData(self.config)
+        self.steps_per_epoch = self.train_data.batches_per_epoch
+        self._print_interval = max(self.steps_per_epoch // 5, 1)
+        print(f'{self.train_data.length} images for train.')
+        print(f'{self.eval_data.length} images for evaluate.')
+
+        self.network, params, state, info = build_detector(
+            self.cfg_text, weight_path=self._resume or None,
+            backbone_path=self._backbone or None,
+            clear_history=self._clear_history, qat=self._quant)
+        self.global_step = info['step']
+        self.init_epoch = self.global_step // self.steps_per_epoch
+        if self._resume:
+            print(f'resumed at {self.global_step} steps from {self._resume}')
+
+        schedule = build_schedule(self.config, self.steps_per_epoch)
+        self.schedule = schedule
+        self.optimizer = make_optimizer(schedule, self.config.train.weight_decay)
+        opt_state = self.optimizer.init(params)
+
+        sparse_ids = sparse_bn_gamma_ids(self.network) if self._sparse else None
+        if self._sparse:
+            n_all = sum(1 for n in self.network.graph.nodes if n.has_bn)
+            print(f'sparse mode: {len(sparse_ids)}/{n_all} BN layers will be sparsed.')
+        self._sparse_ids = sparse_ids
+
+        if self._quant:
+            # jit specialises on the observer/BN-freeze phase flags; the
+            # step is re-jitted when the schedule flips them (the closure
+            # reads them at trace time)
+            self._make_jstep = lambda: jit_train_step(self._wrap_quant_step(),
+                                                      self.mesh)
+        else:
+            step_fn = make_train_step(
+                self.network, self.optimizer,
+                sparse_ratio=self._sparse_ratio if self._sparse else 0.0,
+                sparse_ids=sparse_ids, compute_dtype=self._compute_dtype)
+            self._make_jstep = lambda: jit_train_step(step_fn, self.mesh)
+        self.jstep = self._make_jstep()
+
+        put = lambda t: jax.tree.map(lambda x: jax.device_put(x, self._repl), t)
+        self.params, self.state, self.opt_state = put((params, state, opt_state))
+        self.losses = {
+            'loss': AverageMeter(), 'giou_loss': AverageMeter(),
+            'conf_loss': AverageMeter(), 'class_loss': AverageMeter(),
+            'loss_per_branch': [AverageMeter() for _ in range(3)],
+        }
+        self._rng = jax.random.PRNGKey(42)
+
+    def _wrap_quant_step(self):
+        """QAT train step: fake-quant forward with observer updates folded
+        into the state pytree. The observing flag is a static python bool,
+        giving one jit specialisation per phase."""
+        import optax
+        from pqdet_tpu.compress.qat import QuantCtx
+        network, optimizer = self.network, self.optimizer
+        compute_dtype = self._compute_dtype
+        trainer = self
+
+        def step_fn(params, state, opt_state, batch, rng):
+            observing = trainer._observing  # static per jit cache entry
+
+            def loss_fn(p):
+                ctx = QuantCtx(state['quant'], observing=observing)
+                losses, new_state = network.apply(
+                    p, state, batch['image'], targets=batch['targets'],
+                    train=not trainer._bn_frozen, rng=rng,
+                    compute_dtype=compute_dtype, quant_ctx=ctx)
+                new_state['quant'] = ctx.new_obs
+                return losses['loss'][0], (losses, new_state)
+
+            (loss, (losses, new_state)), grads = \
+                jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = {
+                'loss': losses['loss'][0],
+                'giou_loss': losses['giou_loss'][0],
+                'conf_loss': losses['conf_loss'][0],
+                'class_loss': losses['class_loss'][0],
+                'loss_per_branch': jnp.stack([l[0] for l in losses['loss_per_branch']]),
+            }
+            return params, new_state, opt_state, metrics
+
+        return step_fn
+
+    # ----------------------------------------------------------------- eval
+
+    def make_predict_fn(self):
+        """(batch dict) -> list of per-image (M, 6) numpy detections; the
+        whole forward+recover+NMS pipeline jitted on device."""
+        cfg = self.config
+        network = self.network
+        affine = RECOVER_AFFINE_REGISTER[cfg.dataset.name.lower()]
+        input_size = np.array(size_fix(cfg.eval.input_size), np.float32)
+        score_thr = cfg.eval.score_threshold
+        iou_thr = cfg.eval.iou_threshold
+        max_det = cfg.eval.max_detections
+        compute_dtype = self._compute_dtype
+
+        @jax.jit
+        def run(params, state, images, shapes):
+            preds, _ = network.apply(params, state, images,
+                                     compute_dtype=compute_dtype)
+            recovered = recover_bboxes(preds, jnp.asarray(input_size), shapes,
+                                       affine=affine)
+            return nms_batch(recovered, score_thr, iou_thr, max_det)
+
+        fused = inference_params(network, self.params, self.state)
+
+        def predict(batch):
+            res = run(fused, {}, jnp.asarray(batch['image']),
+                      jnp.asarray(batch['shape']))
+            return [nms_to_numpy(jax.tree.map(lambda x: x[i], res))
+                    for i in range(batch['count'])]
+
+        return predict
+
+    def evaluate(self):
+        evaluator = Evaluator(self.make_predict_fn(), self.eval_data, self.config)
+        ap = evaluator.evaluate()
+        self.AP = ap
+        print(format_ap_table(ap, verbose=False))
+        return ap
+
+    # ------------------------------------------------------------------ save
+
+    def save(self, epoch: int):
+        name = f'{self._weight_base_name}-{epoch}.ckpt' if self.AP is None \
+            else f'{self._weight_base_name}-{epoch}-{self.AP.AP:.4f}.ckpt'
+        path = os.path.join(self._weights_dir, name)
+        save_checkpoint(
+            path, self.params, self.state, step=self.global_step,
+            cfg_text=self.cfg_text,
+            ap=None if self.AP is None else self.AP.AP,
+            ckpt_type='qat' if self._quant else 'normal',
+            backend='int8' if self._quant else 'none')
+        return path
+
+    # ----------------------------------------------------------------- train
+
+    def train_epoch(self, epoch: int):
+        self.dataload_tt.tic()
+        for batch in epoch_batches(self.train_data, self._num_workers):
+            self.global_step += 1
+            batch = jax.tree.map(
+                lambda x: jax.device_put(jnp.asarray(x), self._data_sh), batch)
+            self.dataload_tt.toc()
+
+            self.model_tt.tic()
+            self._rng, rng = jax.random.split(self._rng)
+            self.params, self.state, self.opt_state, metrics = self.jstep(
+                self.params, self.state, self.opt_state, batch, rng)
+            metrics = jax.block_until_ready(metrics)
+            self.model_tt.toc()
+
+            loss_val = float(metrics['loss'])
+            if not np.isfinite(loss_val):
+                raise RuntimeError(f'NaN in loss at step {self.global_step}')
+            self.losses['loss'].update(loss_val)
+            self.losses['giou_loss'].update(float(metrics['giou_loss']))
+            self.losses['conf_loss'].update(float(metrics['conf_loss']))
+            self.losses['class_loss'].update(float(metrics['class_loss']))
+            for i, m in enumerate(np.asarray(metrics['loss_per_branch'])):
+                self.losses['loss_per_branch'][i].update(float(m))
+
+            if self.global_step % self._print_interval == 0:
+                vals = {k: v.get_avg_reset() for k, v in self.losses.items()
+                        if not isinstance(v, list)}
+                branch = [m.get_avg_reset() for m in self.losses['loss_per_branch']]
+                lr = float(self.schedule(self.global_step))
+                print(f'lr: {lr:.6f}\tepoch: {epoch}/{self._max_epochs}\t'
+                      f'step: {self.global_step}\t'
+                      f'train_loss: {vals["loss"]:.2f}='
+                      f'{branch[0]:.2f}+{branch[1]:.2f}+{branch[2]:.2f}'
+                      f'(xy: {vals["giou_loss"]:.2f}, conf: {vals["conf_loss"]:.2f}, '
+                      f'cls: {vals["class_loss"]:.2f})')
+
+            self.dataload_tt.tic()
+
+        self.train_data.init_shuffle()
+
+        if self._sparse:
+            gammas = np.sort(np.concatenate([
+                np.abs(np.asarray(self.params[i]['bn']['gamma']))
+                for i in self._sparse_ids]))
+            idx = [round(i / 5 * len(gammas)) - 1 for i in range(1, 6)]
+            print('sparse level: {}'.format(gammas[idx].tolist()))
+
+        print('data load time: {:.3f}s, model train time: {:.3f}s'.format(
+            self.dataload_tt.sum_reset() / 1e9, self.model_tt.sum_reset() / 1e9))
+
+    def train(self):
+        for epoch in range(self.init_epoch, self._max_epochs):
+            self.AP = None
+            if self._quant:
+                flags = (epoch < self.config.quant.disable_observer_after,
+                         epoch >= self.config.quant.freeze_bn_after)
+                if flags != (self._observing, self._bn_frozen):
+                    self._observing, self._bn_frozen = flags
+                    self.jstep = self._make_jstep()
+            self.epoch_tt.tic()
+            self.train_epoch(epoch)
+            self.epoch_tt.toc()
+            print('{:.3f}s per epoch'.format(self.epoch_tt.sum_reset() / 1e9))
+
+            if epoch >= self._eval_after:
+                self.evaluate()
+            self.save(epoch)
+
+    def run(self):
+        os.makedirs(self._weights_dir, exist_ok=True)
+        if self._quant:
+            print('quantization aware training')
+            self._observing, self._bn_frozen = True, False
+        self.init_all()
+        self.train()
+
+    def run_prune(self, prune_weight: str):
+        """Fine-tune preset after pruning (reference trainer.py:357-368)."""
+        cfg = self.config.clone().defrost()
+        cfg.model.cfg_path = self.config.prune.new_cfg
+        cfg.train.learning_rate_init = self._init_lr * 0.2
+        cfg.train.warmup_epochs = 0.0
+        cfg.train.max_epochs = 20
+        cfg.weight.backbone = ''
+        cfg.weight.resume = prune_weight
+        cfg.weight.clear_history = True
+        cfg.eval.after = 0
+        cfg.sparse.switch = False
+        cfg.freeze()
+        self.__init__(cfg)
+        self._weight_base_name = \
+            f'pruned-{round(self.config.prune.ratio * 100)}-model'
+        self.run()
+
+    def run_nas(self, cfg_text: str) -> float:
+        """Short-train a NAS candidate and return its AP
+        (reference trainer.py:321-339)."""
+        self._warmup_epochs = 0.5
+        self.cfg_text = cfg_text
+        self.config.defrost()
+        self.config.train.warmup_epochs = 0.5
+        self.config.freeze()
+        self.init_all()
+        for epoch in range(0, self._eval_after + 1):
+            self.train_epoch(epoch)
+            if epoch >= self._eval_after:
+                return self.evaluate().AP
+        return 0.0

@@ -1,0 +1,192 @@
+"""Data pipeline tests on synthetic VOC/COCO/VisDrone fixtures."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from pqdet_tpu.config import load_config
+from pqdet_tpu.data import augment
+from pqdet_tpu.data.eval_data import EvalData
+from pqdet_tpu.data.train_data import (TrainData, assign_labels, epoch_batches,
+                                       make_batch, smooth_onehot)
+
+CLASSES = ['cat', 'dog', 'bird']
+
+
+def _write_voc_fixture(root, n=6, seed=0):
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, 'JPEGImages')
+    ann_dir = os.path.join(root, 'Annotations')
+    os.makedirs(img_dir), os.makedirs(ann_dir)
+    paths = []
+    for i in range(n):
+        h, w = int(rng.randint(200, 400)), int(rng.randint(200, 400))
+        img = rng.randint(0, 255, (h, w, 3), np.uint8)
+        p = os.path.join(img_dir, f'im{i}.jpg')
+        cv2.imwrite(p, img)
+        objs = []
+        for _ in range(rng.randint(1, 4)):
+            x1, y1 = rng.randint(0, w - 60), rng.randint(0, h - 60)
+            bw, bh = rng.randint(30, 60), rng.randint(30, 60)
+            cls = CLASSES[rng.randint(len(CLASSES))]
+            diff = int(rng.rand() < 0.2)
+            objs.append(f'''<object><name>{cls}</name><difficult>{diff}</difficult>
+<bndbox><xmin>{x1}</xmin><ymin>{y1}</ymin><xmax>{x1+bw}</xmax><ymax>{y1+bh}</ymax></bndbox></object>''')
+        xml = f'<annotation>{"".join(objs)}</annotation>'
+        with open(os.path.join(ann_dir, f'im{i}.xml'), 'w') as fw:
+            fw.write(xml)
+        paths.append(p)
+    txt = os.path.join(root, 'list.txt')
+    with open(txt, 'w') as fw:
+        fw.write('\n'.join(paths))
+    return txt
+
+
+@pytest.fixture
+def voc_cfg(tmp_path):
+    txt = _write_voc_fixture(str(tmp_path))
+    cfg = load_config(opts=[
+        'dataset.train_txt_file', txt,
+        'dataset.eval_txt_file', txt,
+        'dataset.classes', '[cat, dog, bird]',
+        'train.batch_size', '2',
+        'train.input_sizes', '[64, 96]',
+        'eval.batch_size', '4',
+        'eval.input_size', '96',
+        'model.max_gt_boxes', '16',
+    ])
+    return cfg
+
+
+def test_smooth_onehot():
+    oh = smooth_onehot(4, 2, deta=0.01)
+    assert np.isclose(oh.sum(), 1.0)
+    assert np.isclose(oh[2], 0.99 + 0.01 / 4)
+    assert np.isclose(oh[0], 0.01 / 4)
+
+
+def test_assign_labels_basic():
+    strides = np.array([8, 16, 32])
+    anchors = np.array([[10, 13], [16, 30], [33, 23], [30, 61], [62, 45],
+                        [59, 119], [116, 90], [156, 198], [373, 326]], np.float32)
+    # a 30x60 box centered at (100, 100) with mixup weight .7
+    bboxes = np.array([[85, 70, 115, 130, 1, 0.7]], np.float32)
+    labels, padded = assign_labels(bboxes, (256, 256), strides, anchors,
+                                   num_classes=3, max_gt=8)
+    total_pos = sum(int((l[..., 4] > 0).sum()) for l in labels)
+    assert total_pos >= 1
+    # assigned cell at the box center for any positive scale
+    for s, lab in zip(strides, labels):
+        pos = np.argwhere(lab[..., 4] > 0)
+        for y, x, a in pos:
+            assert x == 100 // s and y == 100 // s
+            np.testing.assert_allclose(lab[y, x, a, :4], bboxes[0, :4])
+            assert np.isclose(lab[y, x, a, -1], 0.7)
+            # class 1 smoothed one-hot
+            assert lab[y, x, a, 5 + 1] > 0.9
+    # raw boxes padded to static size
+    for arr in padded:
+        assert arr.shape == (8, 4)
+
+
+def test_assign_labels_fallback():
+    """A box matching no anchor above threshold still gets its argmax anchor."""
+    strides = np.array([8, 16, 32])
+    anchors = np.array([[400, 400]] * 9, np.float32)  # nothing matches a tiny box
+    bboxes = np.array([[10, 10, 20, 20, 0, 1.0]], np.float32)
+    labels, _ = assign_labels(bboxes, (64, 64), strides, anchors, num_classes=3)
+    total_pos = sum(int((l[..., 4] > 0).sum()) for l in labels)
+    assert total_pos == 1
+
+
+def test_train_data_epoch(voc_cfg):
+    data = TrainData(voc_cfg)
+    assert data.length == 6
+    assert len(data) == 6  # 3 batches * batch 2
+    sizes = set()
+    for batch in epoch_batches(data, num_workers=2):
+        b, h, w, c = batch['image'].shape
+        assert (b, c) == (2, 3)
+        sizes.add((h, w))
+        assert len(batch['targets']) == 6
+        for lab, s in zip(batch['targets'][:3], (8, 16, 32)):
+            assert lab.shape[1:3] == (h // s, w // s)
+            assert np.all(lab[..., -1] != 0)  # mixup weight set everywhere
+        for gt in batch['targets'][3:]:
+            assert gt.shape == (2, 16, 4)
+    # first batch forced to the largest size
+    assert (96, 96) in sizes
+
+
+def test_train_data_reshuffle(voc_cfg):
+    data = TrainData(voc_cfg)
+    first = list(data._indexes)
+    data.init_shuffle()
+    # with replacement; overwhelmingly likely to differ
+    assert len(data._indexes) == len(first)
+
+
+def test_eval_data(voc_cfg):
+    data = EvalData(voc_cfg)
+    assert data.length == 6
+    batches = list(data.batches(2))
+    assert len(batches) == 2
+    b0 = batches[0]
+    assert b0['image'].shape == (4, 96, 96, 3)
+    assert b0['count'] == 4
+    assert len(b0['file_name']) == 4
+    # final ragged batch zero-padded to full batch
+    b1 = batches[1]
+    assert b1['image'].shape == (4, 96, 96, 3)
+    assert b1['count'] == 2
+    # difficult flags come through
+    assert all(len(d) == len(b) for d, b in zip(b0['difficult'], b0['bboxes']))
+
+
+def test_letterbox_resize_augment():
+    img = np.full((100, 200, 3), 50, np.uint8)
+    boxes = np.array([[20, 10, 60, 50, 0]], np.float32)
+    out, bb = augment.Resize((64, 64))(img, boxes.copy())
+    assert out.shape == (64, 64, 3)
+    ratio = 64 / 200
+    du = (64 - round(100 * ratio)) // 2
+    np.testing.assert_allclose(bb[0, :4],
+                               [20 * ratio, 10 * ratio + du,
+                                60 * ratio, 50 * ratio + du], atol=1e-4)
+    # padding value present top/bottom
+    assert (out[0] == 128).all() and (out[-1] == 128).all()
+
+
+def test_hflip_augment():
+    img = np.zeros((10, 20, 3), np.uint8)
+    boxes = np.array([[2, 1, 6, 5, 0]], np.float32)
+    _, bb = augment.RandomHFlip(p=1.1)(img, boxes.copy())
+    np.testing.assert_allclose(bb[0, :4], [14, 1, 18, 5])
+
+
+def test_mixup_weight_column():
+    sampler = lambda: (np.zeros((8, 8, 3), np.float32),
+                       np.array([[1, 1, 4, 4, 0]], np.float32))
+    mix = augment.Mixup(sampler, p=1.1, beta=1.5)
+    img = np.ones((8, 8, 3), np.float32)
+    boxes = np.array([[0, 0, 3, 3, 1]], np.float32)
+    out, bb = mix(img, boxes)
+    assert bb.shape[1] == 6
+    assert np.isclose(bb[:, 5].sum(), 1.0)  # lam + (1 - lam)
+
+
+def test_mosaic_shapes():
+    rng = np.random.RandomState(0)
+
+    def sampler():
+        return (rng.randint(0, 255, (80, 90, 3), np.uint8),
+                np.array([[10, 10, 70, 70, 1]], np.float32))
+
+    img, boxes = sampler()
+    out, bb = augment.Mosaic(sampler, size=(64, 64), p=1.1)(img, boxes)
+    assert out.shape == (64, 64, 3)
+    if len(bb):
+        assert (bb[:, :4] >= 0).all()
+        assert (bb[:, [0, 2]] <= 64).all() and (bb[:, [1, 3]] <= 64).all()
