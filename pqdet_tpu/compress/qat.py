@@ -35,7 +35,8 @@ def fake_quant_weight(w: jnp.ndarray) -> jnp.ndarray:
     """Per-output-channel symmetric fake-quant (last axis = out channels)."""
     axes = tuple(range(w.ndim - 1))
     absmax = jnp.max(jnp.abs(w), axis=axes, keepdims=True)
-    scale = jnp.maximum(absmax / W_QMAX, 1e-8)
+    # observer-derived scales are buffers, not differentiable params
+    scale = jax.lax.stop_gradient(jnp.maximum(absmax / W_QMAX, 1e-8))
     q = jnp.clip(_ste_round(w / scale), W_QMIN, W_QMAX)
     return q * scale
 

@@ -1,0 +1,185 @@
+"""Int8 quantized inference (the 'quant' model state).
+
+The reference converts QAT models with torch.quantization.convert into
+int8 CPU models backed by fbgemm/qnnpack GEMMs (tools.py:291-304). The
+TPU-native equivalent: BN-folded weights quantised to per-channel symmetric
+int8, activations to per-tensor affine uint8 using the QAT observer ranges,
+and convolutions executed as s8 x s8 -> s32 on the MXU
+(preferred_element_type=int32), requantised at every quantised edge.
+
+Add/concat/scale run in fp32 between dequant/requant pairs, mirroring the
+reference's dequant-op-quant sandwiches in its quantized ONNX export
+(export/onnx_exporter.py:79-355).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pqdet_tpu.compress.qat import act_qparams
+from pqdet_tpu.model import layers as L
+from pqdet_tpu.model.decode import decode
+from pqdet_tpu.model.graph import solve_padding
+from pqdet_tpu.model.network import DetectionNetwork, fuse_params
+
+
+def quantize_weights(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """HWIO fp32 -> (int8, per-out-channel scale)."""
+    absmax = np.max(np.abs(w), axis=(0, 1, 2), keepdims=True)
+    scale = np.maximum(absmax / 127.0, 1e-8)
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return q, scale.reshape(-1).astype(np.float32)
+
+
+def convert_to_int8(network: DetectionNetwork, params: Dict, state: Dict) -> Dict:
+    """QAT params+state -> int8 inference params.
+
+    Returns {'layers': {idx: {'wq', 'w_scale', 'b'}}, 'act': {edge: (scale, zp)}}.
+    """
+    if 'quant' not in state:
+        raise ValueError('state has no quant observers; train with quant.switch')
+    fused = fuse_params(network, params, state)
+    layers = {}
+    for node in network.graph.nodes:
+        key = str(node.index)
+        if key not in fused:
+            continue
+        p = fused[key]
+        if node.kind == 'convolutional':
+            wq, w_scale = quantize_weights(np.asarray(p['w']))
+            layers[key] = {'wq': wq, 'w_scale': w_scale,
+                           'b': np.asarray(p.get('b', np.zeros(wq.shape[-1],
+                                                               np.float32)))}
+        else:
+            layers[key] = jax.tree.map(np.asarray, p)
+    act = {}
+    for edge, obs in state['quant'].items():
+        scale, zp = act_qparams(jax.tree.map(jnp.asarray, obs))
+        act[edge] = (float(scale), float(zp))
+    return {'layers': layers, 'act': act}
+
+
+def _quant(x, scale_zp):
+    scale, zp = scale_zp
+    return jnp.clip(jnp.round(x / scale + zp), 0, 255).astype(jnp.uint8)
+
+
+def _dequant(q, scale_zp):
+    scale, zp = scale_zp
+    return (q.astype(jnp.float32) - zp) * scale
+
+
+def int8_conv(xq: jnp.ndarray, x_scale_zp, wq: jnp.ndarray, w_scale, b,
+              stride: int, padding: int, groups: int) -> jnp.ndarray:
+    """Quantized conv with affine uint8 activations, returning fp32.
+
+    Padding uses the zero point (real value 0), and the uniform zero-point
+    offset is removed analytically after the raw integer conv:
+    conv(x_q, w) = conv(x_tilde + zp, w) = conv(x_tilde, w) + zp * sum(w).
+    Integer accumulation in int32; per-output-channel requant scale.
+    """
+    x_scale, x_zp = x_scale_zp
+    zp = jnp.round(jnp.asarray(x_zp)).astype(jnp.int32)
+    if padding:
+        xq = jnp.pad(xq, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+                     constant_values=zp.astype(xq.dtype))
+    wq32 = wq.astype(jnp.int32)
+    acc = jax.lax.conv_general_dilated(
+        xq.astype(jnp.int32), wq32,
+        window_strides=(stride, stride),
+        padding=((0, 0), (0, 0)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    w_sum = jnp.sum(wq32, axis=(0, 1, 2))  # per output channel
+    acc = acc - zp * w_sum
+    return acc.astype(jnp.float32) * (x_scale * w_scale) + b
+
+
+class Int8Inference:
+    """Quantized graph executor (inference only, NHWC int8 tensors)."""
+
+    def __init__(self, network: DetectionNetwork):
+        self.network = network
+        self.graph = network.graph
+
+    def apply(self, qparams: Dict, x: jnp.ndarray):
+        act = qparams['act']
+        layers = qparams['layers']
+        last_use = self.graph.last_use
+        cache: Dict[int, jnp.ndarray] = {}
+        outputs = []
+
+        xq = _quant(x, act['input'])
+        cur_sz = act['input']
+
+        def as_fp(val, sz):
+            return _dequant(val, sz) if sz is not None else val
+
+        for node in self.graph.nodes:
+            i, kind = node.index, node.kind
+            key = str(i)
+            a = node.attrs
+            if kind == 'convolutional':
+                p = layers[key]
+                padding = solve_padding(a['size'], a['padding'], a['pad'])
+                y = int8_conv(xq, cur_sz, jnp.asarray(p['wq']),
+                              jnp.asarray(p['w_scale']), jnp.asarray(p['b']),
+                              a['stride'], padding, a['groups'])
+                y = L.apply_activation(a['activation'], y)
+            elif kind == 'shortcut':
+                y = as_fp(xq, cur_sz) + as_fp(*cache[node.refs[0]])
+                y = L.apply_activation(a['activation'], y)
+            elif kind == 'scale_channels':
+                y = as_fp(*cache[node.refs[0]]) * as_fp(xq, cur_sz)
+            elif kind == 'route':
+                srcs = [as_fp(*cache[r]) for r in node.refs]
+                y = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
+            elif kind == 'maxpool':
+                padding = solve_padding(a['size'], a['padding'], a['pad'])
+                y = L.max_pool(as_fp(xq, cur_sz), a['size'], a['stride'],
+                               padding)
+            elif kind == 'avgpool':
+                y = L.adaptive_avg_pool(as_fp(xq, cur_sz), *node.out_size)
+            elif kind == 'upsample':
+                # replication commutes with quantisation: stay int8
+                n, h, w, c = xq.shape
+                f = a['stride']
+                y = jnp.broadcast_to(xq[:, :, None, :, None, :],
+                                     (n, h, f, w, f, c)).reshape(n, h * f, w * f, c)
+                cache_entry = (y, cur_sz)
+                if i in last_use:
+                    cache[i] = cache_entry
+                xq, cur_sz = y, cur_sz
+                continue
+            elif kind == 'fc':
+                p = layers[key]
+                y = L.linear(as_fp(xq, cur_sz).reshape(xq.shape[0], -1), p)
+                y = L.apply_activation(a['activation'], y)
+            elif kind == 'yolo':
+                pred = decode(as_fp(xq, cur_sz), a['classes'], a['stride'])
+                outputs.append(pred)
+                if i in last_use:
+                    cache[i] = (pred, None)
+                xq, cur_sz = pred, None
+                continue
+            elif kind == 'dropout':
+                xq, cur_sz = xq, cur_sz
+                continue
+            else:
+                raise ValueError(kind)
+
+            if key in act:  # requantise this edge
+                xq, cur_sz = _quant(y, act[key]), act[key]
+            else:           # fp32 edge (feeds a yolo head)
+                xq, cur_sz = y, None
+            if i in last_use:
+                cache[i] = (xq, cur_sz)
+
+        flat = [o.reshape(o.shape[0], -1, o.shape[-1]) for o in outputs]
+        return jnp.concatenate(flat, axis=1)

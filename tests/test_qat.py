@@ -1,0 +1,138 @@
+"""QAT fake-quant + int8 conversion tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pqdet_tpu.compress.qat import (QuantCtx, act_qparams, fake_quant_act,
+                                    fake_quant_weight, observe,
+                                    prepare_qat_state)
+from pqdet_tpu.compress.quantized import (Int8Inference, convert_to_int8,
+                                          int8_conv, quantize_weights)
+from pqdet_tpu.model.network import DetectionNetwork
+from tests.test_prune import _mobile_style_cfg
+
+
+def test_fake_quant_weight_bounded_error():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32))
+    q = fake_quant_weight(w)
+    # error bounded by half a step per channel
+    scale = np.abs(np.asarray(w)).max(axis=(0, 1, 2)) / 127.0
+    err = np.abs(np.asarray(q - w))
+    assert (err <= scale[None, None, None, :] * 0.5 + 1e-7).all()
+
+
+def test_fake_quant_weight_ste_gradient():
+    w = jnp.asarray(np.linspace(-1, 1, 64, dtype=np.float32).reshape(1, 1, 4, 16))
+    g = np.asarray(jax.grad(lambda x: jnp.sum(fake_quant_weight(x)))(w))
+    # straight-through: gradient 1 in the interior; exactly at the clip
+    # boundary jnp.clip's subgradient gives 0.5 (harmless edge artifact)
+    assert ((g == 1.0) | (g == 0.5)).all()
+    assert (g == 1.0).mean() > 0.7
+
+
+def test_observer_and_act_quant():
+    obs = {'min': jnp.zeros(()), 'max': jnp.zeros(()),
+           'initialized': jnp.zeros((), jnp.bool_)}
+    x = jnp.asarray(np.array([0.0, 1.0, 2.0, 6.0], np.float32))
+    obs = observe(obs, x, True)
+    assert float(obs['max']) == 6.0 and float(obs['min']) == 0.0
+    scale, zp = act_qparams(obs)
+    assert float(zp) == 0.0  # non-negative range -> zero point 0
+    q = fake_quant_act(x, obs)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(x), atol=float(scale) / 2 + 1e-7)
+
+    # negative range shifts the zero point
+    x2 = jnp.asarray(np.array([-1.0, 3.0], np.float32))
+    obs2 = observe({'min': jnp.zeros(()), 'max': jnp.zeros(()),
+                    'initialized': jnp.zeros((), jnp.bool_)}, x2, True)
+    _, zp2 = act_qparams(obs2)
+    assert float(zp2) > 0
+
+
+def test_prepare_qat_state_edges():
+    net = DetectionNetwork.from_cfg(_mobile_style_cfg(), quant=True)
+    params, state = net.init(jax.random.PRNGKey(0))
+    params, state = prepare_qat_state(net, params, state)
+    q = state['quant']
+    assert 'input' in q
+    # the conv feeding the yolo head is a dequantised edge -> no observer
+    yolo_feeder = str([n.index for n in net.graph.nodes if n.kind == 'yolo'][0] - 1)
+    assert yolo_feeder not in q
+    assert '0' in q
+
+
+def test_qat_forward_and_convert_close_to_fp():
+    """Fake-quant forward runs; int8 conversion stays close to the fp
+    forward on the same weights."""
+    net = DetectionNetwork.from_cfg(_mobile_style_cfg(), quant=True)
+    params, state = net.init(jax.random.PRNGKey(0))
+    params, state = prepare_qat_state(net, params, state)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1)
+
+    # run a few observer passes (inference-mode BN, like converted eval)
+    for _ in range(3):
+        ctx = QuantCtx(state['quant'], observing=True)
+        out_q, _ = net.apply(params, state, x, quant_ctx=ctx)
+        state = {**state, 'quant': ctx.new_obs}
+
+    out_fp, _ = net.apply(params, state, x)
+
+    qparams = convert_to_int8(net, params, state)
+    int8_net = Int8Inference(net)
+    out_int8 = jax.jit(int8_net.apply)(qparams, x)
+
+    assert out_int8.shape == out_fp.shape
+    # boxes are in pixel units (x up to ~32); scores in [0,1]
+    boxes_err = np.abs(np.asarray(out_int8[..., :4] - out_fp[..., :4]))
+    score_err = np.abs(np.asarray(out_int8[..., 4:] - out_fp[..., 4:]))
+    assert np.median(boxes_err) < 2.0, np.median(boxes_err)
+    assert np.median(score_err) < 0.1, np.median(score_err)
+
+
+def test_int8_conv_matches_fp_within_quant_error():
+    rng = np.random.RandomState(1)
+    x = rng.rand(1, 8, 8, 4).astype(np.float32)  # non-negative, zp=0
+    w = rng.randn(3, 3, 4, 8).astype(np.float32) * 0.1
+    b = rng.randn(8).astype(np.float32) * 0.01
+
+    scale = float(x.max() / 255.0)
+    xq = jnp.asarray(np.clip(np.round(x / scale), 0, 255).astype(np.uint8))
+    wq, w_scale = quantize_weights(w)
+
+    out = int8_conv(xq, (scale, 0.0), jnp.asarray(wq), jnp.asarray(w_scale),
+                    jnp.asarray(b), stride=1, padding=1, groups=1)
+    import torch
+    import torch.nn.functional as F
+    ref = F.conv2d(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                   torch.from_numpy(w.transpose(3, 2, 0, 1)),
+                   torch.from_numpy(b), padding=1).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=0.05)
+
+
+def test_int8_conv_nonzero_zeropoint():
+    """Padding must represent real zero when the zero point is nonzero."""
+    rng = np.random.RandomState(2)
+    x = (rng.rand(1, 6, 6, 2).astype(np.float32) - 0.5) * 2  # [-1, 1]
+    w = rng.randn(3, 3, 2, 4).astype(np.float32) * 0.2
+    b = np.zeros(4, np.float32)
+
+    mn, mx = float(x.min()), float(x.max())
+    scale = (mx - mn) / 255.0
+    zp = round(-mn / scale)
+    xq = jnp.asarray(np.clip(np.round(x / scale + zp), 0, 255).astype(np.uint8))
+    wq, w_scale = quantize_weights(w)
+    out = int8_conv(xq, (scale, float(zp)), jnp.asarray(wq),
+                    jnp.asarray(w_scale), jnp.asarray(b),
+                    stride=1, padding=1, groups=1)
+    import torch
+    import torch.nn.functional as F
+    ref = F.conv2d(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                   torch.from_numpy(w.transpose(3, 2, 0, 1)),
+                   torch.from_numpy(b), padding=1).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=0.08)
