@@ -1,0 +1,55 @@
+"""Conversion/export CLI (reference convert.py).
+
+    python -m pqdet_tpu.cli.convert stablehlo --weight m.ckpt --out m.shlo [--nms]
+    python -m pqdet_tpu.cli.convert darknet --weight m.ckpt --out m.weights
+    python -m pqdet_tpu.cli.convert from-torch --weight ref.pt --out m.ckpt
+    python -m pqdet_tpu.cli.convert partial --weight m.ckpt --out bb.ckpt --layers 61
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser(description='export / convert')
+    parser.add_argument('mode', choices=['stablehlo', 'darknet', 'from-torch',
+                                         'partial'])
+    parser.add_argument('--weight', required=True)
+    parser.add_argument('--out', required=True)
+    parser.add_argument('--size', type=int, default=512)
+    parser.add_argument('--bs', type=int, default=1)
+    parser.add_argument('--nms', action='store_true')
+    parser.add_argument('--layers', type=int, default=0)
+    args, _ = parser.parse_known_args()
+
+    if args.mode == 'from-torch':
+        from pqdet_tpu.exporters.torch_convert import convert_torch_checkpoint
+        convert_torch_checkpoint(args.weight, args.out)
+        print(f'saved: {args.out}')
+        return
+    if args.mode == 'partial':
+        from pqdet_tpu.exporters.export import partial_checkpoint
+        partial_checkpoint(args.weight, args.out, args.layers)
+        print(f'saved: {args.out}')
+        return
+
+    from pqdet_tpu.model.factory import build_detector, inference_params
+    network, params, state, _ = build_detector(None, weight_path=args.weight)
+
+    if args.mode == 'darknet':
+        from pqdet_tpu.exporters.export import save_weights_darknet
+        save_weights_darknet(network, params, state, args.out)
+    else:
+        from pqdet_tpu.exporters.export import export_stablehlo
+        fused = inference_params(network, params, state)
+        blob = export_stablehlo(network, fused,
+                                input_size=(args.size, args.size),
+                                batch_size=args.bs, with_nms=args.nms)
+        with open(args.out, 'wb') as fw:
+            fw.write(blob)
+    print(f'saved: {args.out}')
+
+
+if __name__ == '__main__':
+    main()

@@ -66,7 +66,14 @@ _IOU_LOSS = {
 
 def loss_per_scale(pred: jnp.ndarray, label: jnp.ndarray, gt_boxes: jnp.ndarray,
                    stride: int, num_classes: int, bbox_loss_type: str = 'giou',
-                   ignore_thresh: float = 0.5, l1_loss_gain: float = 0.1):
+                   ignore_thresh: float = 0.5, l1_loss_gain: float = 0.1,
+                   bbox_loss_gain: float = BBOX_LOSS_GAIN,
+                   conf_loss_gain: float = CONF_LOSS_GAIN,
+                   cls_loss_gain: float = CLS_LOSS_GAIN,
+                   conf_loss_alpha: float = CONF_LOSS_ALPHA,
+                   cls_loss_alpha: float = CLS_LOSS_ALPHA,
+                   conf_loss_beta: float = CONF_LOSS_BETA,
+                   cls_loss_beta: float = CLS_LOSS_BETA):
     """Compute (loss, bbox_loss, conf_loss, prob_loss) for one scale.
 
     pred:     (B, H, W, A, 5+C) decoded predictions
@@ -101,7 +108,7 @@ def loss_per_scale(pred: jnp.ndarray, label: jnp.ndarray, gt_boxes: jnp.ndarray,
         bbox_loss = respond_bbox * bbox_loss_scale * (1.0 - quality)
     else:
         raise NotImplementedError(bbox_loss_type)
-    bbox_loss = bbox_loss * BBOX_LOSS_GAIN
+    bbox_loss = bbox_loss * bbox_loss_gain
 
     # background mask: anchors whose best IoU against any raw GT box is below
     # ignore_thresh (reference model/loss.py:85-90)
@@ -110,13 +117,13 @@ def loss_per_scale(pred: jnp.ndarray, label: jnp.ndarray, gt_boxes: jnp.ndarray,
     max_iou = jnp.max(pair_iou, axis=-1)[..., None]
     respond_bgd = (1.0 - respond_bbox) * (max_iou < ignore_thresh).astype(jnp.float32)
 
-    conf_focal = focal(respond_bbox, pred_conf, alpha=CONF_LOSS_ALPHA, gamma=CONF_LOSS_BETA)
+    conf_focal = focal(respond_bbox, pred_conf, alpha=conf_loss_alpha, gamma=conf_loss_beta)
     conf_bce = bce(pred_conf, respond_bbox)
-    conf_loss = CONF_LOSS_GAIN * conf_focal * (
+    conf_loss = conf_loss_gain * conf_focal * (
         respond_bbox * conf_bce + respond_bgd * conf_bce)
 
-    class_focal = focal(label_prob, pred_prob, alpha=CLS_LOSS_ALPHA, gamma=CLS_LOSS_BETA)
-    prob_loss = CLS_LOSS_GAIN * class_focal * respond_bbox * bce(pred_prob, label_prob)
+    class_focal = focal(label_prob, pred_prob, alpha=cls_loss_alpha, gamma=cls_loss_beta)
+    prob_loss = cls_loss_gain * class_focal * respond_bbox * bce(pred_prob, label_prob)
 
     def _reduce(x):
         return jnp.mean(jnp.sum(x * label_mixw, axis=(1, 2, 3, 4)), axis=0, keepdims=True)

@@ -125,12 +125,18 @@ class Network:
                     x = pred
                 else:
                     gi, bi = TARGET_MAP[a['stride']]
+                    # optional evolved loss hypers live in the yolo attrs
+                    extra = {k: a[k] for k in
+                             ('bbox_loss_gain', 'conf_loss_gain',
+                              'cls_loss_gain', 'conf_loss_alpha',
+                              'cls_loss_alpha', 'conf_loss_beta',
+                              'cls_loss_beta') if k in a}
                     x = loss_per_scale(
                         pred, targets[gi], targets[bi],
                         stride=a['stride'], num_classes=a['classes'],
                         bbox_loss_type=a['bbox_loss'],
                         ignore_thresh=a['ignore_thresh'],
-                        l1_loss_gain=a['l1_loss_gain'])
+                        l1_loss_gain=a['l1_loss_gain'], **extra)
                 outputs.append(x)
             elif kind == 'dropout':
                 if rng is not None:
