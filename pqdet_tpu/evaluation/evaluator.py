@@ -137,7 +137,37 @@ class Evaluator:
         return inter / union
 
     def _match_class(self, cls: int):
-        """Greedy matching for one class; returns (tp, fp) cumulants."""
+        """Greedy matching for one class; the native C++ matcher when
+        available (pqdet_tpu/native/ap_matcher.cpp), python otherwise."""
+        from pqdet_tpu.native import matcher as native_matcher
+        if native_matcher.available():
+            return self._match_class_native(cls, native_matcher)
+        return self._match_class_python(cls)
+
+    def _match_class_native(self, cls: int, native_matcher):
+        dets = sorted(self._detections[cls], key=lambda t: -t[2][4])
+        det_boxes = np.array([d[2][:4] for d in dets], np.float32).reshape(-1, 4)
+        # build per-file label-set tables for this class
+        set_ids, gt_blocks, diff_blocks, offsets = {}, [], [], [0]
+        det_set = np.empty(len(dets), np.int32)
+        for i, (_, file_name, _) in enumerate(dets):
+            label = self._labels[file_name].get(cls)
+            if label is None:
+                det_set[i] = -1
+                continue
+            if file_name not in set_ids:
+                set_ids[file_name] = len(gt_blocks)
+                gt_blocks.append(label.bboxes)
+                diff_blocks.append(label.difficult)
+                offsets.append(offsets[-1] + len(label.bboxes))
+            det_set[i] = set_ids[file_name]
+        gt = np.concatenate(gt_blocks) if gt_blocks else np.zeros((0, 4), np.float32)
+        diff = np.concatenate(diff_blocks) if diff_blocks else np.zeros(0, bool)
+        return native_matcher.match_class(
+            det_boxes, det_set, gt, diff, np.array(offsets, np.int32),
+            AP_IOU_THRESHOLDS)
+
+    def _match_class_python(self, cls: int):
         dets = self._detections[cls]
         # descending score; stable sort keeps insertion order on ties
         dets = sorted(dets, key=lambda t: -t[2][4])
