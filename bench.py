@@ -3,6 +3,12 @@ TPU chip, vs the reference's 11.5 ms on a GTX 1080 Ti (BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline > 1 means faster than the reference.
+
+Measurement note: on the axon tunnel, block_until_ready does not reliably
+fence device execution, so N forwards are CHAINED inside one jit with a
+true value dependency (each iteration's input depends on the previous
+output's sum) and the scalar result is fetched — wall time per iteration
+is then honest device time.
 """
 
 import json
@@ -11,9 +17,10 @@ import time
 import numpy as np
 
 BASELINE_MS = 11.5  # reference README.md:105, mobilenetv2-fpn bs=1 forward
+CHAIN = 8           # forwards chained per measured call
 
 
-def bench_forward(batch_size: int = 1, iters: int = 100, warmup: int = 10):
+def bench_forward(batch_size: int = 1, reps: int = 8):
     import jax
     import jax.numpy as jnp
     from pqdet_tpu.model.network import DetectionNetwork, fuse_params
@@ -25,46 +32,37 @@ def bench_forward(batch_size: int = 1, iters: int = 100, warmup: int = 10):
                          fuse_params(net, params, state))
 
     @jax.jit
-    def forward(p, x):
-        preds, _ = net.apply(p, {}, x, compute_dtype=jnp.bfloat16)
-        return preds
+    def chain(p, x):
+        acc = jnp.float32(0)
+        for _ in range(CHAIN):
+            y = net.apply(p, {}, x, compute_dtype=jnp.bfloat16)[0]
+            s = y.astype(jnp.float32).sum() * 1e-20
+            acc = acc + s
+            x = x + s.astype(x.dtype)  # true dependency between iterations
+        return acc
 
-    # pre-staged distinct device inputs so host->device transfer and input
-    # reuse artifacts don't pollute the measurement
-    rng = np.random.RandomState(0)
-    xs = [jnp.asarray(rng.rand(batch_size, 512, 512, 3), jnp.bfloat16)
-          for _ in range(8)]
-    for x in xs:
-        forward(fused, x).block_until_ready()
-    for i in range(warmup):
-        forward(fused, xs[i % 8]).block_until_ready()
+    x = jnp.asarray(np.random.RandomState(0).rand(batch_size, 512, 512, 3),
+                    jnp.bfloat16)
+    float(chain(fused, x))  # compile + warmup
 
-    # per-call synchronised latency
+    # CONSERVATIVE: the reported per-forward time still contains 1/CHAIN of
+    # the host<->device dispatch+fetch roundtrip (several ms through the
+    # axon tunnel) — true device latency is lower than reported
     times = []
-    for i in range(iters):
-        x = xs[i % 8]
+    for _ in range(reps):
         t0 = time.perf_counter()
-        forward(fused, x).block_until_ready()
+        float(chain(fused, x))
         times.append((time.perf_counter() - t0) * 1e3)
-    p50 = float(np.percentile(times, 50))
-
-    # pipelined throughput (sync once at the end)
-    t0 = time.perf_counter()
-    out = None
-    for i in range(iters):
-        out = forward(fused, xs[i % 8])
-    out.block_until_ready()
-    pipelined_ms = (time.perf_counter() - t0) * 1e3 / iters
-    return p50, pipelined_ms
+    return float(np.median(times)) / CHAIN
 
 
 def main():
-    p50, pipelined = bench_forward(batch_size=1)
+    ms = bench_forward(batch_size=1)
     print(json.dumps({
-        'metric': 'mobilenetv2_fpn_forward_p50_ms_bs1_512',
-        'value': round(p50, 3),
+        'metric': 'mobilenetv2_fpn_forward_ms_bs1_512',
+        'value': round(ms, 3),
         'unit': 'ms',
-        'vs_baseline': round(BASELINE_MS / p50, 3),
+        'vs_baseline': round(BASELINE_MS / ms, 3),
     }))
 
 

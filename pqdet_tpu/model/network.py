@@ -150,6 +150,13 @@ class Network:
             if quant_ctx is not None and kind != 'yolo':
                 x = quant_ctx.observe_output(str(i), x)
 
+            # keep inter-layer activations in the compute dtype: conv
+            # accumulation is fp32 (preferred_element_type) but carrying
+            # fp32 between layers would double HBM traffic
+            if compute_dtype is not None and kind != 'yolo' \
+                    and x.dtype != compute_dtype:
+                x = x.astype(compute_dtype)
+
             if i in last_use:
                 cache[i] = x
             # free activations whose consumers have all run

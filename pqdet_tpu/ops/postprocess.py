@@ -98,14 +98,30 @@ def nms_single(boxes_scores: jnp.ndarray, score_threshold: float,
     shifted = cand + (classes.astype(cand.dtype) * span)[:, None]
     iou_mat = iou(shifted[:, None, :], shifted[None, :, :])  # (k, k)
 
+    # strictly-upper-triangular suppression adjacency: j suppresses i when
+    # j has higher rank (j < i) and IoU > threshold
     order = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0).squeeze(-1)
+    sup = (iou_mat > iou_threshold) & (order[:, None] < order[None, :])  # (j, i)
 
-    def body(i, keep):
-        alive = keep[i]
-        suppress = (iou_mat[i] > iou_threshold) & (order > i)
-        return jnp.where(alive, keep & ~suppress, keep)
+    # exact greedy NMS as a fixed point: keep[i] = valid[i] and no KEPT
+    # higher-ranked j suppresses i. Iterating from keep=valid converges to
+    # the sequential-greedy solution in O(longest suppression chain) steps
+    # (each pass finalises one more level of the chain), which is far
+    # shallower than the K-step sequential loop the reference's batched_nms
+    # runs natively.
+    def cond(state):
+        keep, prev, it = state
+        return (it < k) & jnp.any(keep != prev)
 
-    keep = jax.lax.fori_loop(0, k, body, valid)
+    def body(state):
+        keep, _, it = state
+        suppressed = jnp.any(sup & keep[:, None], axis=0)
+        return valid & ~suppressed, keep, it + 1
+
+    keep0 = valid
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid & ~jnp.any(sup & keep0[:, None], axis=0),
+                     keep0, jnp.int32(0)))
     return NMSResult(cand, top_scores, classes, keep)
 
 
