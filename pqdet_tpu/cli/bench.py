@@ -76,17 +76,38 @@ def _make_predict(args, cfg):
     from pqdet_tpu.data.samples import RECOVER_AFFINE_REGISTER
     from pqdet_tpu.ops.postprocess import (nms_batch, nms_to_numpy,
                                            recover_bboxes)
+    from pqdet_tpu.train.checkpoint import load_checkpoint
 
-    network, fused, forward = _build_forward(cfg, args.weight)
     affine = RECOVER_AFFINE_REGISTER[cfg.dataset.name.lower()]
     input_size = np.array(size_fix(cfg.eval.input_size), np.float32)
 
-    @jax.jit
-    def run(p, x, shapes):
-        preds, _ = network.apply(p, {}, x)
-        rec = recover_bboxes(preds, jnp.asarray(input_size), shapes, affine=affine)
-        return nms_batch(rec, cfg.eval.score_threshold, cfg.eval.iou_threshold,
-                         cfg.eval.max_detections)
+    is_quant = bool(args.weight) and \
+        load_checkpoint(args.weight).get('type') == 'quant'
+    if is_quant:
+        # int8 inference path for converted checkpoints
+        from pqdet_tpu.compress.quantized import Int8Inference, load_quantized
+        network, qparams = load_quantized(args.weight)
+        int8 = Int8Inference(network)
+
+        @jax.jit
+        def run(p, x, shapes):
+            preds = int8.apply(p, x)
+            rec = recover_bboxes(preds, jnp.asarray(input_size), shapes,
+                                 affine=affine)
+            return nms_batch(rec, cfg.eval.score_threshold,
+                             cfg.eval.iou_threshold, cfg.eval.max_detections)
+
+        fused = qparams
+    else:
+        network, fused, forward = _build_forward(cfg, args.weight)
+
+        @jax.jit
+        def run(p, x, shapes):
+            preds, _ = network.apply(p, {}, x)
+            rec = recover_bboxes(preds, jnp.asarray(input_size), shapes,
+                                 affine=affine)
+            return nms_batch(rec, cfg.eval.score_threshold,
+                             cfg.eval.iou_threshold, cfg.eval.max_detections)
 
     def predict(batch):
         res = run(fused, jnp.asarray(batch['image']), jnp.asarray(batch['shape']))

@@ -14,7 +14,7 @@ import argparse
 def main():
     parser = argparse.ArgumentParser(description='export / convert')
     parser.add_argument('mode', choices=['stablehlo', 'darknet', 'from-torch',
-                                         'partial'])
+                                         'partial', 'quantize'])
     parser.add_argument('--weight', required=True)
     parser.add_argument('--out', required=True)
     parser.add_argument('--size', type=int, default=512)
@@ -35,7 +35,15 @@ def main():
         return
 
     from pqdet_tpu.model.factory import build_detector, inference_params
-    network, params, state, _ = build_detector(None, weight_path=args.weight)
+    network, params, state, info = build_detector(None, weight_path=args.weight)
+
+    if args.mode == 'quantize':
+        from pqdet_tpu.compress.quantized import convert_to_int8, save_quantized
+        qparams = convert_to_int8(network, params, state)
+        save_quantized(args.out, network, qparams, info['cfg_text'],
+                       step=info['step'], ap=info['AP'])
+        print(f'saved: {args.out}')
+        return
 
     if args.mode == 'darknet':
         from pqdet_tpu.exporters.export import save_weights_darknet

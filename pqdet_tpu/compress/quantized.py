@@ -63,6 +63,34 @@ def convert_to_int8(network: DetectionNetwork, params: Dict, state: Dict) -> Dic
     return {'layers': layers, 'act': act}
 
 
+def save_quantized(path: str, network: DetectionNetwork, qparams: Dict,
+                   cfg_text: str, step: int = 0, ap=None):
+    """Persist an int8 model as a 'quant'-type checkpoint (the reference's
+    converted-model state, tools.py:238-242)."""
+    from pqdet_tpu.train.checkpoint import save_checkpoint
+    act = {k: np.asarray(v, np.float32) for k, v in qparams['act'].items()}
+    save_checkpoint(path, qparams['layers'], {'act': act}, step=step,
+                    cfg_text=cfg_text, ap=ap, ckpt_type='quant',
+                    backend='int8')
+
+
+def load_quantized(path: str):
+    """Load a 'quant' checkpoint -> (network, qparams)."""
+    from pqdet_tpu.train.checkpoint import load_checkpoint
+    ckpt = load_checkpoint(path)
+    if ckpt.get('type') != 'quant':
+        raise ValueError(f'{path} is not a quantized checkpoint')
+    network = DetectionNetwork.from_cfg(ckpt['cfg'], quant=True)
+    layers = {}
+    for key, p in ckpt['params'].items():
+        layers[key] = {k: np.asarray(v) for k, v in p.items()}
+        if 'wq' in layers[key]:
+            layers[key]['wq'] = layers[key]['wq'].astype(np.int8)
+    act = {k: (float(v[0]), float(v[1]))
+           for k, v in ckpt['state']['act'].items()}
+    return network, {'layers': layers, 'act': act}
+
+
 def _quant(x, scale_zp):
     scale, zp = scale_zp
     return jnp.clip(jnp.round(x / scale + zp), 0, 255).astype(jnp.uint8)

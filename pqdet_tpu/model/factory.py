@@ -44,7 +44,13 @@ def build_detector(cfg_text: Optional[str] = None,
         cfg_text = ckpt['cfg']
     info['cfg_text'] = cfg_text
 
-    needs_quant_graph = qat or quantized or info['type'] in ('qat', 'quant')
+    if info['type'] == 'quant':
+        raise ValueError(
+            'quantized checkpoints hold int8 weights; load them with '
+            'compress.quantized.load_quantized (the bench/eval CLIs do this '
+            'automatically)')
+
+    needs_quant_graph = qat or quantized or info['type'] == 'qat'
     network = DetectionNetwork.from_cfg(cfg_text, quant=needs_quant_graph)
     params, state = network.init(jax.random.PRNGKey(rng_seed))
 
@@ -57,7 +63,7 @@ def build_detector(cfg_text: Optional[str] = None,
     if needs_quant_graph:
         from pqdet_tpu.compress.qat import prepare_qat_state
         params, state = prepare_qat_state(network, params, state)
-        if ckpt is not None and info['type'] in ('qat', 'quant'):
+        if ckpt is not None and info['type'] == 'qat':
             params, state = load_weights_into(params, state, ckpt)
 
     return network, params, state, info

@@ -95,13 +95,18 @@ def conv2d(x, w, b=None, stride: int = 1, padding: int = 0, groups: int = 1,
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    # In reduced precision the output stays in the compute dtype (XLA's MXU
+    # path still accumulates bf16 matmuls in f32 internally); requesting a
+    # f32 preferred_element_type here would make the conv's transpose rule
+    # mix dtypes and fail under autodiff.
+    preferred = jnp.float32 if compute_dtype is None else None
     out = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     )
     if b is not None:
         out = out + b.astype(out.dtype)

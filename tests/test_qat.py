@@ -136,3 +136,24 @@ def test_int8_conv_nonzero_zeropoint():
                    torch.from_numpy(w.transpose(3, 2, 0, 1)),
                    torch.from_numpy(b), padding=1).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(out), ref, atol=0.08)
+
+
+def test_quantized_checkpoint_roundtrip(tmp_path):
+    from pqdet_tpu.compress.quantized import load_quantized, save_quantized
+    net = DetectionNetwork.from_cfg(_mobile_style_cfg(), quant=True)
+    params, state = net.init(jax.random.PRNGKey(0))
+    params, state = prepare_qat_state(net, params, state)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3), jnp.float32)
+    ctx = QuantCtx(state['quant'], observing=True)
+    net.apply(params, state, x, quant_ctx=ctx)
+    state = {**state, 'quant': ctx.new_obs}
+
+    qparams = convert_to_int8(net, params, state)
+    out1 = Int8Inference(net).apply(qparams, x)
+
+    path = str(tmp_path / 'q.ckpt')
+    save_quantized(path, net, qparams, cfg_text=_mobile_style_cfg(), step=7)
+    net2, qparams2 = load_quantized(path)
+    out2 = Int8Inference(net2).apply(qparams2, x)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-5, atol=1e-5)
