@@ -1,0 +1,27 @@
+"""NAS search CLI (reference nas/search.py).
+
+    python -m pqdet_tpu.cli.search --yaml exp.yaml --rounds 50 \
+        --max-macs 5e9 [--max-latency-ms 20] [--log nas_search.json]
+"""
+
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser(description='random NAS search')
+    parser.add_argument('--yaml', default=None)
+    parser.add_argument('--rounds', type=int, default=50)
+    parser.add_argument('--max-macs', type=float, default=5e9)
+    parser.add_argument('--max-latency-ms', type=float, default=None)
+    parser.add_argument('--log', default='nas_search.json')
+    args, rest = parser.parse_known_args()
+
+    from pqdet_tpu.config import load_config
+    from pqdet_tpu.nas.search import search
+    cfg = load_config(args.yaml, rest)
+    search(cfg, rounds=args.rounds, max_macs=args.max_macs,
+           log_path=args.log, max_latency_ms=args.max_latency_ms)
+
+
+if __name__ == '__main__':
+    main()

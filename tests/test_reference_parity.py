@@ -1,0 +1,191 @@
+"""Differential parity vs the actual torch reference implementation.
+
+Imports the reference (read-only at /root/reference) with a minimal
+torchvision stub (only `ops` is referenced at import time), builds the SAME
+architecture in both frameworks, transfers the torch weights through the
+migration converter, and compares forward outputs and losses numerically.
+
+Skipped when the reference tree is unavailable.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = '/root/reference'
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason='reference tree not mounted')
+
+
+@pytest.fixture(scope='module')
+def reference():
+    """Import the reference package with torchvision stubbed out."""
+    if 'torchvision' not in sys.modules:
+        tv = types.ModuleType('torchvision')
+        tv_ops = types.ModuleType('torchvision.ops')
+        tv_ops.boxes = types.SimpleNamespace(batched_nms=None)
+        tv.ops = tv_ops
+        sys.modules['torchvision'] = tv
+        sys.modules['torchvision.ops'] = tv_ops
+    sys.path.insert(0, REF)
+    try:
+        # tools must come first: the reference has a tools <-> interpreter
+        # import cycle that only resolves in this order
+        import tools as ref_tools  # noqa
+        import model.interpreter as ref_interp  # noqa
+        import model.parser as ref_parser  # noqa
+        import model.loss as ref_loss  # noqa
+    finally:
+        sys.path.remove(REF)
+    return types.SimpleNamespace(interpreter=ref_interp, parser=ref_parser,
+                                 loss=ref_loss, tools=ref_tools)
+
+
+def _cfg_text():
+    from pqdet_tpu.zoo import get_cfg
+    return get_cfg('mobilenetv2-fpn', num_classes=20)
+
+
+def test_forward_parity_mobilenetv2_fpn(reference, tmp_path):
+    """Same cfg, same weights: reference torch model and pqdet_tpu network
+    must produce the same decoded predictions."""
+    import io
+    import torch
+    from pqdet_tpu.exporters.torch_convert import convert_torch_state_dict
+    from pqdet_tpu.model.network import DetectionNetwork
+
+    cfg_text = _cfg_text()
+    torch.manual_seed(0)
+    ref_model = reference.interpreter.DetectionModel(io.StringIO(cfg_text))
+    ref_model.eval()
+
+    net = DetectionNetwork.from_cfg(cfg_text)
+    params, state = convert_torch_state_dict(ref_model.state_dict(), net)
+    params = jax.tree.map(jnp.asarray, params)
+    state = jax.tree.map(jnp.asarray, state)
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 3, 128, 128).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x)).numpy()  # (B, sum HWA, 25)
+
+    ours, _ = net.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    ours = np.asarray(ours)
+
+    assert ours.shape == ref_out.shape
+    # boxes are in pixel units; scores in [0, 1]
+    np.testing.assert_allclose(ours[..., :4], ref_out[..., :4],
+                               rtol=1e-3, atol=5e-2)
+    np.testing.assert_allclose(ours[..., 4:], ref_out[..., 4:],
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_loss_parity(reference):
+    """loss_per_scale parity against the reference on identical inputs."""
+    import torch
+    from pqdet_tpu.model.loss import loss_per_scale
+
+    rng = np.random.RandomState(0)
+    b, h, w, a, nc, stride = 2, 8, 8, 3, 20, 16
+    # decoded-style predictions: positive-extent boxes + probabilities
+    cx = rng.rand(b, h, w, a, 1) * h * stride
+    cy = rng.rand(b, h, w, a, 1) * w * stride
+    bw = rng.rand(b, h, w, a, 1) * 40 + 2
+    bh = rng.rand(b, h, w, a, 1) * 40 + 2
+    pred = np.concatenate([
+        cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2,
+        rng.rand(b, h, w, a, 1), rng.rand(b, h, w, a, nc)], -1).astype(np.float32)
+
+    label = np.zeros((b, h, w, a, 6 + nc), np.float32)
+    label[..., -1] = 1.0
+    for bi in range(b):
+        for _ in range(4):
+            y, xx, ai = rng.randint(h), rng.randint(w), rng.randint(a)
+            x1, y1 = rng.rand(2) * 60
+            label[bi, y, xx, ai, :4] = [x1, y1, x1 + 30, y1 + 40]
+            label[bi, y, xx, ai, 4] = 1.0
+            label[bi, y, xx, ai, 5 + rng.randint(nc)] = 0.99
+    gt = np.zeros((b, 6, 4), np.float32)
+    gt[:, :3, :2] = rng.rand(b, 3, 2) * 60
+    gt[:, :3, 2:] = gt[:, :3, :2] + rng.rand(b, 3, 2) * 40 + 5
+
+    for loss_type in ['giou', 'iou', 'l1']:
+        opt = {'stride': stride, 'bbox_loss': loss_type, 'ignore_thresh': 0.5,
+               'l1_loss_gain': 0.05}
+        ref = reference.loss.loss_per_scale(
+            torch.from_numpy(pred), torch.from_numpy(label),
+            torch.from_numpy(gt), opt)
+        ref_vals = [float(t) for t in ref]
+
+        ours = loss_per_scale(jnp.asarray(pred), jnp.asarray(label),
+                              jnp.asarray(gt), stride=stride, num_classes=nc,
+                              bbox_loss_type=loss_type, ignore_thresh=0.5,
+                              l1_loss_gain=0.05)
+        ours_vals = [float(t[0]) for t in ours]
+        np.testing.assert_allclose(ours_vals, ref_vals, rtol=2e-4,
+                                   err_msg=loss_type)
+
+
+def test_loss_parity_diou_ciou(reference):
+    """diou/ciou parity needs every label cell populated: the reference's
+    arctan(w/h) NaNs on zero-padded label boxes (tools.py:472), which our
+    arctan2 form avoids — so compare only on fully-positive labels."""
+    import torch
+    from pqdet_tpu.model.loss import loss_per_scale
+
+    rng = np.random.RandomState(1)
+    b, h, w, a, nc, stride = 1, 4, 4, 3, 5, 16
+    cx = rng.rand(b, h, w, a, 1) * h * stride
+    cy = rng.rand(b, h, w, a, 1) * w * stride
+    bw = rng.rand(b, h, w, a, 1) * 40 + 2
+    bh = rng.rand(b, h, w, a, 1) * 40 + 2
+    pred = np.concatenate([
+        cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2,
+        rng.rand(b, h, w, a, 1), rng.rand(b, h, w, a, nc)], -1).astype(np.float32)
+
+    lx = rng.rand(b, h, w, a, 1) * 40
+    ly = rng.rand(b, h, w, a, 1) * 40
+    lw = rng.rand(b, h, w, a, 1) * 30 + 5
+    lh = rng.rand(b, h, w, a, 1) * 30 + 5
+    label = np.concatenate([
+        lx, ly, lx + lw, ly + lh,
+        (rng.rand(b, h, w, a, 1) > 0.5).astype(np.float32),
+        rng.rand(b, h, w, a, nc) * 0.9,
+        np.ones((b, h, w, a, 1), np.float32)], -1).astype(np.float32)
+    gt = np.concatenate([lx[:, 0, 0], ly[:, 0, 0],
+                         lx[:, 0, 0] + lw[:, 0, 0],
+                         ly[:, 0, 0] + lh[:, 0, 0]], -1).astype(np.float32)
+
+    for loss_type in ['diou', 'ciou']:
+        opt = {'stride': stride, 'bbox_loss': loss_type, 'ignore_thresh': 0.5,
+               'l1_loss_gain': 0.05}
+        ref_vals = [float(t) for t in reference.loss.loss_per_scale(
+            torch.from_numpy(pred), torch.from_numpy(label),
+            torch.from_numpy(gt), opt)]
+        ours_vals = [float(t[0]) for t in loss_per_scale(
+            jnp.asarray(pred), jnp.asarray(label), jnp.asarray(gt),
+            stride=stride, num_classes=nc, bbox_loss_type=loss_type)]
+        np.testing.assert_allclose(ours_vals, ref_vals, rtol=2e-4,
+                                   err_msg=loss_type)
+
+
+def test_cfg_grammar_parity(reference):
+    """Both parsers produce the same layer dicts for every zoo model."""
+    import io
+    from pqdet_tpu.model.cfgparse import parse_cfg
+    from pqdet_tpu.zoo import MODEL_ZOO, get_cfg
+
+    for name in sorted(MODEL_ZOO):
+        text = get_cfg(name)
+        ref_layers = list(reference.parser.Parser(io.StringIO(text)).gen_layers())
+        ours = parse_cfg(text)
+        assert len(ref_layers) == len(ours)
+        for r, o in zip(ref_layers, ours):
+            assert r == {k: v for k, v in o.items()}, (name, r, o)
