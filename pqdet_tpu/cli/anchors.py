@@ -73,7 +73,8 @@ def main():
     print(f'{len(whs)} boxes')
     anchors = kmeans_anchors(whs, k=args.k)
     mean_iou = iou_wh(whs, anchors).max(axis=1).mean()
-    print('anchors:', [[round(w, 1), round(h, 1)] for w, h in anchors])
+    print('anchors:', [[round(float(w), 1), round(float(h), 1)]
+                       for w, h in anchors])
     print(f'mean best IoU: {mean_iou:.4f}')
 
 

@@ -70,16 +70,9 @@ def cmd_eval(args, cfg):
 
 
 def _make_predict(args, cfg):
-    import jax
-    import jax.numpy as jnp
-    from pqdet_tpu.config import size_fix
-    from pqdet_tpu.data.samples import RECOVER_AFFINE_REGISTER
-    from pqdet_tpu.ops.postprocess import (nms_batch, nms_to_numpy,
-                                           recover_bboxes)
+    from pqdet_tpu.evaluation.predict import (build_predict_pipeline,
+                                              make_batch_predict)
     from pqdet_tpu.train.checkpoint import load_checkpoint
-
-    affine = RECOVER_AFFINE_REGISTER[cfg.dataset.name.lower()]
-    input_size = np.array(size_fix(cfg.eval.input_size), np.float32)
 
     is_quant = bool(args.weight) and \
         load_checkpoint(args.weight).get('type') == 'quant'
@@ -88,33 +81,13 @@ def _make_predict(args, cfg):
         from pqdet_tpu.compress.quantized import Int8Inference, load_quantized
         network, qparams = load_quantized(args.weight)
         int8 = Int8Inference(network)
+        run = build_predict_pipeline(network, cfg,
+                                     apply_fn=lambda p, x: int8.apply(p, x))
+        return make_batch_predict(run, qparams)
 
-        @jax.jit
-        def run(p, x, shapes):
-            preds = int8.apply(p, x)
-            rec = recover_bboxes(preds, jnp.asarray(input_size), shapes,
-                                 affine=affine)
-            return nms_batch(rec, cfg.eval.score_threshold,
-                             cfg.eval.iou_threshold, cfg.eval.max_detections)
-
-        fused = qparams
-    else:
-        network, fused, forward = _build_forward(cfg, args.weight)
-
-        @jax.jit
-        def run(p, x, shapes):
-            preds, _ = network.apply(p, {}, x)
-            rec = recover_bboxes(preds, jnp.asarray(input_size), shapes,
-                                 affine=affine)
-            return nms_batch(rec, cfg.eval.score_threshold,
-                             cfg.eval.iou_threshold, cfg.eval.max_detections)
-
-    def predict(batch):
-        res = run(fused, jnp.asarray(batch['image']), jnp.asarray(batch['shape']))
-        return [nms_to_numpy(jax.tree.map(lambda x: x[i], res))
-                for i in range(batch['count'])]
-
-    return predict
+    network, fused, forward = _build_forward(cfg, args.weight)
+    run = build_predict_pipeline(network, cfg)
+    return make_batch_predict(run, fused)
 
 
 def cmd_benchmark(args, cfg):

@@ -34,12 +34,11 @@ def predict_image(cfg, img_path: str, weight_path: str = None,
     """Returns (image_rgb, (M, 6) detections)."""
     import jax
     import jax.numpy as jnp
-    from pqdet_tpu.config import resolve_model_cfg, size_fix
-    from pqdet_tpu.data.samples import (EVAL_AUGMENT_REGISTER,
-                                        RECOVER_AFFINE_REGISTER)
+    from pqdet_tpu.config import size_fix
+    from pqdet_tpu.data.samples import EVAL_AUGMENT_REGISTER
+    from pqdet_tpu.evaluation.predict import build_predict_pipeline
     from pqdet_tpu.model.factory import build_detector, inference_params
-    from pqdet_tpu.ops.postprocess import (nms_batch, nms_to_numpy,
-                                           recover_bboxes)
+    from pqdet_tpu.ops.postprocess import nms_to_numpy
 
     name = cfg.dataset.name.lower()
     input_size = size_fix(cfg.eval.input_size)
@@ -55,16 +54,8 @@ def predict_image(cfg, img_path: str, weight_path: str = None,
     image = cv2.cvtColor(cv2.imread(img_path), cv2.COLOR_BGR2RGB)
     shape = np.array(image.shape[:2], np.float32)
     pre, _ = EVAL_AUGMENT_REGISTER[name](input_size)(image, [])
-    affine = RECOVER_AFFINE_REGISTER[name]
 
-    @jax.jit
-    def run(p, x, s):
-        preds, _ = network.apply(p, {}, x)
-        rec = recover_bboxes(preds, jnp.asarray(np.array(input_size, np.float32)),
-                             s, affine=affine)
-        return nms_batch(rec, cfg.eval.score_threshold, cfg.eval.iou_threshold,
-                         cfg.eval.max_detections)
-
+    run = build_predict_pipeline(network, cfg)
     res = run(fused, jnp.asarray(pre[None]), jnp.asarray(shape[None]))
     dets = nms_to_numpy(jax.tree.map(lambda x: x[0], res))
     return image, dets

@@ -55,32 +55,16 @@ def main():
 
 def _test(cfg, result):
     import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from pqdet_tpu.config import size_fix
     from pqdet_tpu.data.eval_data import EvalData
-    from pqdet_tpu.data.samples import RECOVER_AFFINE_REGISTER
     from pqdet_tpu.evaluation.evaluator import Evaluator, format_ap_table
+    from pqdet_tpu.evaluation.predict import (build_predict_pipeline,
+                                              make_batch_predict)
     from pqdet_tpu.model.network import DetectionNetwork, fuse_params
-    from pqdet_tpu.ops.postprocess import (nms_batch, nms_to_numpy,
-                                           recover_bboxes)
 
     network = DetectionNetwork.from_cfg(result.cfg_text)
-    fused = fuse_params(network, result.params, result.state)
-    affine = RECOVER_AFFINE_REGISTER[cfg.dataset.name.lower()]
-    input_size = np.array(size_fix(cfg.eval.input_size), np.float32)
-
-    @jax.jit
-    def run(p, x, shapes):
-        preds, _ = network.apply(p, {}, x)
-        rec = recover_bboxes(preds, jnp.asarray(input_size), shapes, affine=affine)
-        return nms_batch(rec, cfg.eval.score_threshold, cfg.eval.iou_threshold,
-                         cfg.eval.max_detections)
-
-    def predict(batch):
-        res = run(fused, jnp.asarray(batch['image']), jnp.asarray(batch['shape']))
-        return [nms_to_numpy(jax.tree.map(lambda x: x[i], res))
-                for i in range(batch['count'])]
+    fused = fuse_params(network, jax.tree.map(jax.numpy.asarray, result.params),
+                        jax.tree.map(jax.numpy.asarray, result.state))
+    predict = make_batch_predict(build_predict_pipeline(network, cfg), fused)
 
     data = EvalData(cfg)
     ap = Evaluator(predict, data, cfg).evaluate()

@@ -74,13 +74,14 @@ class EvalData:
             'count': count,
         }
 
-    def batches(self, num_workers: int = 4) -> Iterator[dict]:
-        with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
-            pending = None
+    def batches(self, num_workers: int = 4, prefetch: int = 2) -> Iterator[dict]:
+        from collections import deque
+        with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as samples, \
+                ThreadPoolExecutor(max_workers=max(prefetch, 1)) as assembler:
+            pending = deque()
             for i in range(len(self)):
-                fut = pool.submit(self.batch, i, None)
-                if pending is not None:
-                    yield pending.result()
-                pending = fut
-            if pending is not None:
-                yield pending.result()
+                while len(pending) >= max(prefetch, 1):
+                    yield pending.popleft().result()
+                pending.append(assembler.submit(self.batch, i, samples))
+            while pending:
+                yield pending.popleft().result()

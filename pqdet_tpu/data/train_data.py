@@ -72,21 +72,35 @@ def assign_labels(bboxes: np.ndarray, input_size: Tuple[int, int],
             mask[ious.argmax()] = True
 
         entry = np.concatenate([coor, [1.0], onehot, [mixw]])
+        scales_hit = set()
         for i in np.nonzero(mask)[0]:
             scale, anchor = divmod(i, gt_per_grid)
             x, y = xy_idx[scale]
             h, w = out_sizes[scale]
             if 0 <= y < h and 0 <= x < w:
                 labels[scale][y, x, anchor, :] = entry
-                raw[scale].append(coor)
+                scales_hit.add(scale)
+        # the raw box enters each scale's ignore list once (the reference
+        # appends per matched anchor, duplicating up to gt_per_grid times —
+        # duplicates don't change the max-IoU mask, they only waste slots)
+        for scale in scales_hit:
+            raw[scale].append(coor)
 
     padded = []
+    truncated = 0
     for boxes in raw:
         arr = np.zeros((max_gt, 4), np.float32)
         if boxes:
-            boxes = np.stack(boxes)[:max_gt]
-            arr[:len(boxes)] = boxes
+            truncated += max(len(boxes) - max_gt, 0)
+            stacked = np.stack(boxes)[:max_gt]
+            arr[:len(stacked)] = stacked
         padded.append(arr)
+    if truncated:
+        import warnings
+        warnings.warn(
+            f'{truncated} GT boxes exceeded model.max_gt_boxes={max_gt} and '
+            f'were dropped from the conf-loss ignore mask; raise '
+            f'model.max_gt_boxes for crowded datasets', stacklevel=2)
     return labels, padded
 
 
@@ -173,17 +187,19 @@ def make_batch(data: TrainData, indices: List[int], pool=None) -> dict:
     return {'image': images, 'targets': tuple(labels + boxes)}
 
 
-def epoch_batches(data: TrainData, num_workers: int = 4) -> Iterator[dict]:
-    """Iterate one epoch of host batches using a thread pool, prefetching
-    one batch ahead of the consumer."""
+def epoch_batches(data: TrainData, num_workers: int = 4,
+                  prefetch: int = 2) -> Iterator[dict]:
+    """Iterate one epoch of host batches: samples decode/augment in a
+    worker thread pool (cv2/numpy release the GIL) while a small assembly
+    pool keeps `prefetch` batches in flight ahead of the consumer."""
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
-        batches = data.batch_indices()
-        pending = None
-        for idx_list in batches:
-            fut = pool.submit(make_batch, data, idx_list)
-            if pending is not None:
-                yield pending.result()
-            pending = fut
-        if pending is not None:
-            yield pending.result()
+    with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as samples, \
+            ThreadPoolExecutor(max_workers=max(prefetch, 1)) as assembler:
+        pending = deque()
+        for idx_list in data.batch_indices():
+            while len(pending) >= max(prefetch, 1):
+                yield pending.popleft().result()
+            pending.append(assembler.submit(make_batch, data, idx_list, samples))
+        while pending:
+            yield pending.popleft().result()

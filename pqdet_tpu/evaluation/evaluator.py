@@ -78,6 +78,7 @@ class Evaluator:
         self.predict = predict
         self.dataset = dataset
         self._num_workers = config.system.num_workers
+        self._prefetch = getattr(config.system, 'prefetch', 2)
         self.reset()
 
     def reset(self):
@@ -112,7 +113,7 @@ class Evaluator:
             self._gt_count[cls] += int(np.sum(~sel_diffs))
 
     def evaluate(self) -> APResult:
-        for batch in self.dataset.batches(self._num_workers):
+        for batch in self.dataset.batches(self._num_workers, self._prefetch):
             per_image = self.predict(batch)
             for i in range(batch['count']):
                 self.add_detections(batch['file_name'][i], per_image[i])

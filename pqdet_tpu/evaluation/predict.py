@@ -1,0 +1,60 @@
+"""The shared inference pipeline: forward -> recover -> NMS, jitted once.
+
+Single source of truth for the eval/predict wiring used by the trainer's
+per-epoch evaluation, the bench CLI, the prune CLI and single-image
+predict (previously four near-identical copies).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pqdet_tpu.config import size_fix
+from pqdet_tpu.data.samples import RECOVER_AFFINE_REGISTER
+from pqdet_tpu.ops.postprocess import nms_batch, nms_to_numpy, recover_bboxes
+
+
+def build_predict_pipeline(network, cfg, compute_dtype=None,
+                           apply_fn: Optional[Callable] = None):
+    """Returns jitted ``run(params, images, shapes) -> NMSResult``.
+
+    ``apply_fn(params, images) -> (B, N, 5+C)`` overrides the forward (used
+    for the int8 executor); default is the fused fp network apply.
+    """
+    affine = RECOVER_AFFINE_REGISTER[cfg.dataset.name.lower()]
+    input_size = np.array(size_fix(cfg.eval.input_size), np.float32)
+    score_thr = cfg.eval.score_threshold
+    iou_thr = cfg.eval.iou_threshold
+    max_det = cfg.eval.max_detections
+
+    if apply_fn is None:
+        def apply_fn(params, images):
+            preds, _ = network.apply(params, {}, images,
+                                     compute_dtype=compute_dtype)
+            return preds
+
+    @jax.jit
+    def run(params, images, shapes):
+        preds = apply_fn(params, images)
+        recovered = recover_bboxes(preds, jnp.asarray(input_size), shapes,
+                                   affine=affine)
+        return nms_batch(recovered, score_thr, iou_thr, max_det)
+
+    return run
+
+
+def make_batch_predict(run, params) -> Callable[[Dict], List[np.ndarray]]:
+    """Wrap a pipeline into the Evaluator's predict contract:
+    batch dict -> list of per-image (M, 6) numpy detections."""
+    def predict(batch):
+        res = run(params, jnp.asarray(batch['image']),
+                  jnp.asarray(batch['shape']))
+        res = jax.tree.map(np.asarray, res)  # one device->host transfer
+        return [nms_to_numpy(jax.tree.map(lambda x: x[i], res))
+                for i in range(batch['count'])]
+    return predict

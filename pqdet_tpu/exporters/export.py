@@ -106,6 +106,13 @@ def load_weights_darknet(network: DetectionNetwork, path: str,
 
     for node in network.graph.nodes:
         key = str(node.index)
+        if node.kind == 'fc':
+            p = params[key]
+            new_params[key]['b'] = take(np.asarray(p['b']).size)
+            w_shape = np.asarray(p['w']).shape
+            new_params[key]['w'] = take(int(np.prod(w_shape))) \
+                .reshape(w_shape[::-1]).T
+            continue
         if node.kind != 'convolutional':
             continue
         p = params[key]

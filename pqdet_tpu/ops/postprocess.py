@@ -32,9 +32,19 @@ def letterbox_affine(input_size, original_size):
 def ratio_pad_affine(input_size, original_size, resize_ratio: float = 1.25,
                      divisor: int = 32):
     """Inverse-affine for ResizeRatio+PadNearestDivisor eval inputs
-    (VisDrone, dataset/visdrone_sample.py:84-88)."""
-    padded = jnp.ceil(resize_ratio * original_size / divisor) * divisor
-    delta = jnp.floor((padded - resize_ratio * original_size) / 2)
+    (VisDrone, dataset/visdrone_sample.py:84-88).
+
+    NOTE: intentionally diverges from the reference's
+    `_visdrone_affine_bboxes`, which inverts the UNROUNDED 1.25*size — the
+    forward pipeline resizes to round(1.25*size) then pads the ROUNDED size
+    to the divisor, so the reference's recovered boxes drift by up to
+    ~12 original-image pixels when 1.25*dim straddles a divisor boundary.
+    This inverse mirrors the forward ops exactly (round-half-even like
+    python round, floor-div padding split).
+    """
+    resized = jnp.round(resize_ratio * original_size)       # ResizeRatio
+    padded = jnp.ceil(resized / divisor) * divisor          # PadNearestDivisor
+    delta = jnp.floor((padded - resized) / 2)
     ratio = jnp.full(original_size.shape[:-1] + (1,), resize_ratio,
                      original_size.dtype)
     return delta, ratio
@@ -74,17 +84,25 @@ class NMSResult(NamedTuple):
 
 
 def nms_single(boxes_scores: jnp.ndarray, score_threshold: float,
-               iou_threshold: float, max_outputs: int = 256) -> NMSResult:
+               iou_threshold: float, max_outputs: int = 256,
+               pool_factor: int = 4) -> NMSResult:
     """Greedy class-offset NMS for one image, fixed output size.
 
     boxes_scores: (N, 4+C) from recover_bboxes. Every (box, class) pair with
     score > threshold is a candidate (a box can survive for several classes),
     matching torch_nms -> torchvision batched_nms (tools.py:540-566).
+
+    Suppression runs over a candidate POOL of ``max_outputs * pool_factor``
+    top-scored pairs (the reference suppresses every above-threshold pair;
+    a pool only as large as the output would wrongly drop candidates that
+    outrank the threshold but would only surface after suppression removes
+    higher-scored duplicates). The kept detections are then compacted,
+    score-ordered, into the fixed-size output.
     """
     boxes = boxes_scores[:, :4]
     scores = boxes_scores[:, 4:]
     n, c = scores.shape
-    k = min(max_outputs, n * c)
+    k = min(max(max_outputs * pool_factor, max_outputs), n * c)
 
     flat = scores.reshape(-1)
     top_scores, top_idx = jax.lax.top_k(flat, k)
@@ -122,7 +140,12 @@ def nms_single(boxes_scores: jnp.ndarray, score_threshold: float,
     keep, _, _ = jax.lax.while_loop(
         cond, body, (valid & ~jnp.any(sup & keep0[:, None], axis=0),
                      keep0, jnp.int32(0)))
-    return NMSResult(cand, top_scores, classes, keep)
+
+    # compact the kept candidates (already score-descending) into the fixed
+    # output size: stable argsort on ~keep moves kept rows first in order
+    m = min(max_outputs, k)
+    sel = jnp.argsort(~keep, stable=True)[:m]
+    return NMSResult(cand[sel], top_scores[sel], classes[sel], keep[sel])
 
 
 def nms_batch(boxes_scores: jnp.ndarray, score_threshold: float,

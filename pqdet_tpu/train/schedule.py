@@ -28,14 +28,13 @@ def cosine_warmup(init_lr: float, end_lr: float, warmup_steps: int,
 
 
 def step_decay_warmup(init_lr: float, warmup_steps: int, steps_per_epoch: int,
-                      mile_stones: Sequence[int], gamma: float, max_epochs: int):
+                      mile_stones: Sequence[int], gamma: float):
     warmup_steps = max(warmup_steps, 1)
     boundaries = [m * steps_per_epoch for m in mile_stones]
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
         warm = step / warmup_steps * init_lr
-        lr = init_lr
         decayed = jnp.full_like(step, init_lr)
         for i, b in enumerate(boundaries):
             decayed = jnp.where(step >= b, init_lr * gamma ** (i + 1), decayed)
@@ -54,5 +53,5 @@ def build_schedule(cfg, steps_per_epoch: int):
     if cfg.train.scheduler == 'step':
         return step_decay_warmup(cfg.train.learning_rate_init, warmup,
                                  steps_per_epoch, cfg.train.mile_stones,
-                                 cfg.train.gamma, cfg.train.max_epochs)
+                                 cfg.train.gamma)
     raise ValueError(f'unknown scheduler: {cfg.train.scheduler}')

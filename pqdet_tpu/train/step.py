@@ -56,6 +56,26 @@ def make_optimizer(schedule: Callable, weight_decay: float = 0.0):
     return optax.chain(*txs)
 
 
+def resume_schedule_step(opt_state, step: int):
+    """Fast-forward the LR schedule counter after a checkpoint resume.
+
+    optax's scale_by_learning_rate counts updates from 0 in its own state,
+    so a resumed run would otherwise replay warmup+cosine from the top
+    (the reference computes LR from global_step, trainer.py:225). Adam's
+    bias-correction count is left at 0 on purpose — moments start fresh.
+    """
+    import jax.numpy as jnp
+
+    def fix(s):
+        if isinstance(s, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(count=jnp.asarray(step, jnp.int32))
+        if isinstance(s, tuple) and not hasattr(s, '_fields'):
+            return tuple(fix(x) for x in s)
+        return s
+
+    return fix(opt_state)
+
+
 def make_train_step(network: DetectionNetwork, optimizer,
                     sparse_ratio: float = 0.0,
                     sparse_ids: Optional[Set[str]] = None,

@@ -49,6 +49,11 @@ class Trainer:
         self._sparse = c.sparse.switch
         self._sparse_ratio = c.sparse.ratio
         self._quant = c.quant.switch
+        # QAT phase flags, read at trace time by the quant step (run()
+        # updates them per epoch; init here so run_nas/train_epoch-only
+        # paths work too)
+        self._observing = True
+        self._bn_frozen = False
         self._weights_dir = os.path.join(c.weight.dir, c.experiment_name)
         self._weight_base_name = 'model'
         self._resume = c.weight.resume
@@ -94,6 +99,9 @@ class Trainer:
         self.schedule = schedule
         self.optimizer = make_optimizer(schedule, self.config.train.weight_decay)
         opt_state = self.optimizer.init(params)
+        if self.global_step:
+            from pqdet_tpu.train.step import resume_schedule_step
+            opt_state = resume_schedule_step(opt_state, self.global_step)
 
         sparse_ids = sparse_bn_gamma_ids(self.network) if self._sparse else None
         if self._sparse:
@@ -164,34 +172,16 @@ class Trainer:
     # ----------------------------------------------------------------- eval
 
     def make_predict_fn(self):
-        """(batch dict) -> list of per-image (M, 6) numpy detections; the
-        whole forward+recover+NMS pipeline jitted on device."""
-        cfg = self.config
-        network = self.network
-        affine = RECOVER_AFFINE_REGISTER[cfg.dataset.name.lower()]
-        input_size = np.array(size_fix(cfg.eval.input_size), np.float32)
-        score_thr = cfg.eval.score_threshold
-        iou_thr = cfg.eval.iou_threshold
-        max_det = cfg.eval.max_detections
-        compute_dtype = self._compute_dtype
-
-        @jax.jit
-        def run(params, state, images, shapes):
-            preds, _ = network.apply(params, state, images,
-                                     compute_dtype=compute_dtype)
-            recovered = recover_bboxes(preds, jnp.asarray(input_size), shapes,
-                                       affine=affine)
-            return nms_batch(recovered, score_thr, iou_thr, max_det)
-
-        fused = inference_params(network, self.params, self.state)
-
-        def predict(batch):
-            res = run(fused, {}, jnp.asarray(batch['image']),
-                      jnp.asarray(batch['shape']))
-            return [nms_to_numpy(jax.tree.map(lambda x: x[i], res))
-                    for i in range(batch['count'])]
-
-        return predict
+        """(batch dict) -> list of per-image (M, 6) numpy detections. The
+        jitted pipeline is built once and reused by every per-epoch
+        evaluation (rebuilding it would re-jit per epoch)."""
+        from pqdet_tpu.evaluation.predict import (build_predict_pipeline,
+                                                  make_batch_predict)
+        if getattr(self, '_eval_run', None) is None:
+            self._eval_run = build_predict_pipeline(
+                self.network, self.config, compute_dtype=self._compute_dtype)
+        fused = inference_params(self.network, self.params, self.state)
+        return make_batch_predict(self._eval_run, fused)
 
     def evaluate(self):
         evaluator = Evaluator(self.make_predict_fn(), self.eval_data, self.config)
@@ -218,7 +208,8 @@ class Trainer:
 
     def train_epoch(self, epoch: int):
         self.dataload_tt.tic()
-        for batch in epoch_batches(self.train_data, self._num_workers):
+        for batch in epoch_batches(self.train_data, self._num_workers,
+                                   prefetch=self.config.system.prefetch):
             self.global_step += 1
             batch = jax.tree.map(
                 lambda x: jax.device_put(jnp.asarray(x), self._data_sh), batch)

@@ -115,7 +115,7 @@ def test_cosine_schedule():
 
 def test_step_schedule():
     s = step_decay_warmup(1e-3, warmup_steps=10, steps_per_epoch=10,
-                          mile_stones=[3, 5], gamma=0.1, max_epochs=8)
+                          mile_stones=[3, 5], gamma=0.1)
     assert np.isclose(float(s(5)), 5e-4)
     assert np.isclose(float(s(20)), 1e-3)
     assert np.isclose(float(s(35)), 1e-4)
