@@ -44,19 +44,27 @@ def _build_forward(cfg, weight, compute_dtype=None):
 
 
 def cmd_time(args, cfg):
+    import jax
     import jax.numpy as jnp
     dtype = jnp.bfloat16 if args.bf16 else None
     _, fused, forward = _build_forward(cfg, args.weight, dtype)
     x = jnp.asarray(np.zeros((args.bs, args.size, args.size, 3), np.float32))
     for _ in range(10):
         forward(fused, x).block_until_ready()
+    if args.trace:
+        from pqdet_tpu.utils.profiling import trace
+        with trace(args.trace) as log_dir:
+            for _ in range(8):
+                forward(fused, x).block_until_ready()
+        print(f'profiler trace written to {log_dir}')
     ts = []
     for _ in range(64):
         t0 = time.perf_counter()
         forward(fused, x).block_until_ready()
         ts.append((time.perf_counter() - t0) * 1e3)
     print(f'{np.mean(ts):.3f}ms (p50 {np.percentile(ts, 50):.3f}ms) '
-          f'bs={args.bs} size={args.size}')
+          f'bs={args.bs} size={args.size}  '
+          f'[dispatch-level timing; see bench.py for fenced methodology]')
 
 
 def cmd_eval(args, cfg):
@@ -148,6 +156,8 @@ def main():
     parser.add_argument('--bs', type=int, default=1)
     parser.add_argument('--bf16', action='store_true')
     parser.add_argument('--limit', type=int, default=100)
+    parser.add_argument('--trace', default='',
+                        help='write a jax.profiler trace to this directory')
     args, rest = parser.parse_known_args()
     args.opts = rest  # trailing config overrides: key value [...]
 
