@@ -22,7 +22,7 @@ Weight layout here is HWIO (in axis 2, out axis 3).
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 

@@ -9,7 +9,7 @@ training distributions match; these run on CPU feeding the device pipeline.
 from __future__ import annotations
 
 from math import ceil
-from typing import Callable, List, Optional, Sequence, Tuple, Union
+from typing import Callable, Sequence, Tuple, Union
 
 import cv2
 import numpy as np

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 from xml.etree.ElementTree import parse as xml_parse
 
 import cv2

@@ -11,11 +11,11 @@ package (not installed here).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
-from pqdet_tpu.model.network import DetectionNetwork, fuse_params
+from pqdet_tpu.model.network import DetectionNetwork
 
 
 def export_stablehlo(network: DetectionNetwork, fused_params: Dict,

@@ -8,7 +8,7 @@ rebuilds its architecture from the embedded cfg text.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 

@@ -10,8 +10,6 @@ shards — documented divergence from per-replica BN; it only helps AP).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -10,7 +10,6 @@ all-reduce over ICI.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional, Set
 
 import jax

@@ -17,13 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pqdet_tpu.config import resolve_model_cfg, size_fix
+from pqdet_tpu.config import resolve_model_cfg
 from pqdet_tpu.data.eval_data import EvalData
-from pqdet_tpu.data.samples import RECOVER_AFFINE_REGISTER
 from pqdet_tpu.data.train_data import TrainData, epoch_batches
 from pqdet_tpu.evaluation.evaluator import Evaluator, format_ap_table
 from pqdet_tpu.model.factory import build_detector, inference_params
-from pqdet_tpu.ops.postprocess import nms_batch, nms_to_numpy, recover_bboxes
 from pqdet_tpu.parallel.mesh import (batch_sharding, make_mesh, replicated)
 from pqdet_tpu.train.checkpoint import save_checkpoint
 from pqdet_tpu.train.schedule import build_schedule
