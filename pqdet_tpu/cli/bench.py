@@ -91,7 +91,7 @@ def _make_predict(args, cfg):
         int8 = Int8Inference(network)
         run = build_predict_pipeline(network, cfg,
                                      apply_fn=lambda p, x: int8.apply(p, x))
-        return make_batch_predict(run, qparams)
+        return make_batch_predict(run, Int8Inference.prepare(qparams))
 
     network, fused, forward = _build_forward(cfg, args.weight)
     run = build_predict_pipeline(network, cfg)

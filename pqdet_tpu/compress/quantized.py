@@ -101,40 +101,75 @@ def _dequant(q, scale_zp):
     return (q.astype(jnp.float32) - zp) * scale
 
 
+def _fake_quant_edge(x, scale_zp):
+    """Quantise-dequantise in fp without materialising uint8: fuses into
+    neighbouring elementwise ops instead of forcing an extra HBM pass."""
+    scale, zp = scale_zp
+    q = jnp.clip(jnp.round(x / scale + zp), 0, 255)
+    return (q - zp) * scale
+
+
 def int8_conv(xq: jnp.ndarray, x_scale_zp, wq: jnp.ndarray, w_scale, b,
               stride: int, padding: int, groups: int) -> jnp.ndarray:
-    """Quantized conv with affine uint8 activations, returning fp32.
+    """Quantized conv on the int8 MXU path, returning fp32.
 
-    Padding uses the zero point (real value 0), and the uniform zero-point
-    offset is removed analytically after the raw integer conv:
-    conv(x_q, w) = conv(x_tilde + zp, w) = conv(x_tilde, w) + zp * sum(w).
-    Integer accumulation in int32; per-output-channel requant scale.
+    The affine uint8 activation is recentred to signed int8 by subtracting
+    128 (exact, no overflow), so the conv runs s8 x s8 -> s32 natively.
+    Padding uses the recentred zero point (real value 0), and the combined
+    offset is removed analytically:
+        conv(x_q - zp, w) = conv(x_q - 128, w) + (128 - zp) * sum(w)
+    per-output-channel requant scale + bias finish in fp32.
     """
     x_scale, x_zp = x_scale_zp
     zp = jnp.round(jnp.asarray(x_zp)).astype(jnp.int32)
+    xs8 = (xq.astype(jnp.int16) - 128).astype(jnp.int8)
     if padding:
-        xq = jnp.pad(xq, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
-                     constant_values=zp.astype(xq.dtype))
-    wq32 = wq.astype(jnp.int32)
+        pad_val = (zp - 128).astype(jnp.int8)
+        xs8 = jnp.pad(xs8, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+                      constant_values=pad_val)
     acc = jax.lax.conv_general_dilated(
-        xq.astype(jnp.int32), wq32,
+        xs8, wq.astype(jnp.int8),
         window_strides=(stride, stride),
         padding=((0, 0), (0, 0)),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         feature_group_count=groups,
         preferred_element_type=jnp.int32,
     )
-    w_sum = jnp.sum(wq32, axis=(0, 1, 2))  # per output channel
-    acc = acc - zp * w_sum
+    w_sum = jnp.sum(wq.astype(jnp.int32), axis=(0, 1, 2))  # per out channel
+    acc = acc + (128 - zp) * w_sum
     return acc.astype(jnp.float32) * (x_scale * w_scale) + b
 
 
 class Int8Inference:
-    """Quantized graph executor (inference only, NHWC int8 tensors)."""
+    """Quantized graph executor (inference only, NHWC int8 tensors).
 
-    def __init__(self, network: DetectionNetwork):
+    ``mode``:
+    - 'int': integer accumulation (s32) — exact quantized semantics
+      (measured ~25 ms/forward for mobilenetv2-fpn bs=1 on v5e)
+    - 'dequant' (default): int8 weight STORAGE dequantised at use (fuses
+      into the conv), activations fake-quantised per edge in fp with the
+      calibrated qparams (no uint8 materialisation) — the same
+      quantisation error model at near-bf16 speed. This is the TPU-native
+      way to serve a quantized checkpoint.
+
+    Always run through ``Int8Inference.prepare`` first — host-resident
+    qparams cost ~70 ms/call of DevicePut otherwise.
+    """
+
+    def __init__(self, network: DetectionNetwork, mode: str = 'dequant'):
+        assert mode in ('int', 'dequant')
         self.network = network
         self.graph = network.graph
+        self.mode = mode
+
+    @staticmethod
+    def prepare(qparams: Dict) -> Dict:
+        """Stage qparams on device once. convert_to_int8/load_quantized
+        return host numpy arrays (for serialisation); passing those to a
+        jitted apply re-uploads them EVERY call (measured ~70 ms/call of
+        DevicePut on the tunnel vs ~1 ms of actual compute)."""
+        return {'layers': jax.tree.map(jnp.asarray, qparams['layers']),
+                'act': qparams['act']}
 
     def apply(self, qparams: Dict, x: jnp.ndarray):
         act = qparams['act']
@@ -143,8 +178,10 @@ class Int8Inference:
         cache: Dict[int, jnp.ndarray] = {}
         outputs = []
 
-        xq = _quant(x, act['input'])
-        cur_sz = act['input']
+        if self.mode == 'dequant':
+            xq, cur_sz = _fake_quant_edge(x, act['input']), None
+        else:
+            xq, cur_sz = _quant(x, act['input']), act['input']
 
         def as_fp(val, sz):
             return _dequant(val, sz) if sz is not None else val
@@ -156,9 +193,17 @@ class Int8Inference:
             if kind == 'convolutional':
                 p = layers[key]
                 padding = solve_padding(a['size'], a['padding'], a['pad'])
-                y = int8_conv(xq, cur_sz, jnp.asarray(p['wq']),
-                              jnp.asarray(p['w_scale']), jnp.asarray(p['b']),
-                              a['stride'], padding, a['groups'])
+                if self.mode == 'int':
+                    y = int8_conv(xq, cur_sz, jnp.asarray(p['wq']),
+                                  jnp.asarray(p['w_scale']), jnp.asarray(p['b']),
+                                  a['stride'], padding, a['groups'])
+                else:
+                    w = jnp.asarray(p['wq']).astype(jnp.float32) \
+                        * jnp.asarray(p['w_scale'])
+                    y = L.conv2d(as_fp(xq, cur_sz), w, jnp.asarray(p['b']),
+                                 stride=a['stride'], padding=padding,
+                                 groups=a['groups'], compute_dtype=jnp.bfloat16)
+                    y = y.astype(jnp.float32)
                 y = L.apply_activation(a['activation'], y)
             elif kind == 'shortcut':
                 y = as_fp(xq, cur_sz) + as_fp(*cache[node.refs[0]])
@@ -203,7 +248,10 @@ class Int8Inference:
                 raise ValueError(kind)
 
             if key in act:  # requantise this edge
-                xq, cur_sz = _quant(y, act[key]), act[key]
+                if self.mode == 'dequant':
+                    xq, cur_sz = _fake_quant_edge(y, act[key]), None
+                else:
+                    xq, cur_sz = _quant(y, act[key]), act[key]
             else:           # fp32 edge (feeds a yolo head)
                 xq, cur_sz = y, None
             if i in last_use:

@@ -196,6 +196,9 @@ DEFAULTS: Dict[str, Any] = {
         'hflip_p': 0.5,
         'vflip_p': 0.0,
         'crop_p': 0.75,
+        # 4-image mosaic before mixup (the reference implements Mosaic but
+        # leaves it commented out of the chains, dataset/voc_sample.py:69-74)
+        'mosaic_p': 0.0,
     },
     'weight': {
         'dir': 'weights',

@@ -82,16 +82,38 @@ class BaseSampleGetter:
         return image, os.path.basename(img_path), shape, bboxes, diffs
 
 
-def _standard_train_chain(augment_cfg, input_size, extra_head=()):
-    return augment.Compose([
+def _standard_train_chain(augment_cfg, input_size, extra_head=(),
+                          normalize=True):
+    chain = [
         *extra_head,
         augment.RandomHFlip(p=augment_cfg.hflip_p),
         augment.RandomVFlip(p=augment_cfg.vflip_p),
         augment.RandomSafeCrop(p=augment_cfg.crop_p),
         augment.ColorJitter(p=augment_cfg.color_p),
         augment.Resize(input_size),
-        augment.Normalize(),
-    ])
+    ]
+    if normalize:
+        chain.append(augment.Normalize())
+    return augment.Compose(chain)
+
+
+def _mosaic_p(augment_cfg) -> float:
+    return getattr(augment_cfg, 'mosaic_p', 0.0)
+
+
+def _compose_chain(augment_cfg, sampler, input_size):
+    """[Mosaic ->] Mixup [-> Normalize], the compose-augment stage
+    (reference dataset/voc_sample.py:64-74; its commented-out mosaic chain
+    normalizes after composition because Mosaic pastes uint8 tiles). When
+    mosaic is on, the base chain skips Normalize and it runs here instead."""
+    chain = []
+    if _mosaic_p(augment_cfg) > 0:
+        chain.append(augment.Mosaic(sampler, size=input_size,
+                                    p=_mosaic_p(augment_cfg)))
+    chain.append(augment.Mixup(sampler, p=augment_cfg.mixup_p, beta=1.5))
+    if _mosaic_p(augment_cfg) > 0:
+        chain.append(augment.Normalize())
+    return chain
 
 
 class VOCSampleGetter(BaseSampleGetter):
@@ -116,11 +138,11 @@ class VOCSampleGetter(BaseSampleGetter):
         return bbs, np.array(diffs)
 
     def set_train_augment(self, augment_cfg, input_size, img_path_sampler):
-        self.train_augment = _standard_train_chain(augment_cfg, input_size)
+        self.train_augment = _standard_train_chain(
+            augment_cfg, input_size, normalize=_mosaic_p(augment_cfg) == 0)
         sampler = lambda: self.base_train(img_path_sampler())
-        self.compose_augment = augment.Compose([
-            augment.Mixup(sampler, p=augment_cfg.mixup_p, beta=1.5),
-        ])
+        self.compose_augment = augment.Compose(
+            _compose_chain(augment_cfg, sampler, input_size))
         return self
 
     def set_eval_augment(self, input_size):
@@ -164,11 +186,11 @@ class COCOSampleGetter(BaseSampleGetter):
         return self.train_augment(image, bboxes)
 
     def set_train_augment(self, augment_cfg, input_size, img_path_sampler):
-        self.train_augment = _standard_train_chain(augment_cfg, input_size)
+        self.train_augment = _standard_train_chain(
+            augment_cfg, input_size, normalize=_mosaic_p(augment_cfg) == 0)
         sampler = lambda: self.base_train(img_path_sampler())
-        self.compose_augment = augment.Compose([
-            augment.Mixup(sampler, p=augment_cfg.mixup_p, beta=1.5),
-        ])
+        self.compose_augment = augment.Compose(
+            _compose_chain(augment_cfg, sampler, input_size))
         return self
 
     def set_eval_augment(self, input_size):
@@ -211,18 +233,19 @@ class VisDroneSampleGetter(BaseSampleGetter):
         return bbs, np.array(diffs)
 
     def set_train_augment(self, augment_cfg, input_size, img_path_sampler):
-        self.train_augment = augment.Compose([
+        chain = [
             augment.RandomCrop((416, 416), p=1.0),
             augment.RandomHFlip(p=augment_cfg.hflip_p),
             augment.RandomVFlip(p=augment_cfg.vflip_p),
             augment.ColorJitter(p=augment_cfg.color_p),
             augment.Resize(input_size),
-            augment.Normalize(),
-        ])
+        ]
+        if _mosaic_p(augment_cfg) == 0:
+            chain.append(augment.Normalize())
+        self.train_augment = augment.Compose(chain)
         sampler = lambda: self.base_train(img_path_sampler())
-        self.compose_augment = augment.Compose([
-            augment.Mixup(sampler, p=augment_cfg.mixup_p, beta=1.5),
-        ])
+        self.compose_augment = augment.Compose(
+            _compose_chain(augment_cfg, sampler, input_size))
         return self
 
     def set_eval_augment(self, _input_size):

@@ -71,8 +71,12 @@ def build_detector(cfg_text: Optional[str] = None,
 
 def inference_params(network: DetectionNetwork, params, state,
                      dtype=None) -> Dict:
-    """BN-folded (and optionally downcast) params for the inference path."""
-    fused = fuse_params(network, params, state)
+    """BN-folded (and optionally downcast) params for the inference path,
+    staged on device (checkpoint loads hand back host numpy arrays, which
+    a jitted forward would otherwise re-upload on every call)."""
+    import jax.numpy as jnp
+    fused = fuse_params(network, jax.tree.map(jnp.asarray, params),
+                        jax.tree.map(jnp.asarray, state))
     if dtype is not None:
         fused = jax.tree.map(lambda x: x.astype(dtype), fused)
     return fused

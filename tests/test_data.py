@@ -190,3 +190,20 @@ def test_mosaic_shapes():
     if len(bb):
         assert (bb[:, :4] >= 0).all()
         assert (bb[:, [0, 2]] <= 64).all() and (bb[:, [1, 3]] <= 64).all()
+
+
+def test_mosaic_enabled_pipeline(voc_cfg):
+    """mosaic_p > 0 restructures the chain (normalize after composition)
+    and still produces well-formed batches."""
+    cfg = voc_cfg.clone().defrost()
+    cfg.augment.mosaic_p = 1.0
+    cfg.freeze()
+    data = TrainData(cfg)
+    img, labels, padded = data.get(0)
+    # normalized output: roughly ImageNet-standardized range
+    assert img.dtype == np.float32
+    assert -4.0 < img.min() and img.max() < 4.0
+    assert len(labels) == 3
+    # mixup weight column filled
+    for lab in labels:
+        assert (lab[..., -1] != 0).all()
