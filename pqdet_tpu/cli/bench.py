@@ -44,7 +44,6 @@ def _build_forward(cfg, weight, compute_dtype=None):
 
 
 def cmd_time(args, cfg):
-    import jax
     import jax.numpy as jnp
     dtype = jnp.bfloat16 if args.bf16 else None
     _, fused, forward = _build_forward(cfg, args.weight, dtype)
@@ -88,12 +87,18 @@ def _make_predict(args, cfg):
         # int8 inference path for converted checkpoints
         from pqdet_tpu.compress.quantized import Int8Inference, load_quantized
         network, qparams = load_quantized(args.weight)
-        int8 = Int8Inference(network)
+        int8 = Int8Inference(network,
+                             mode='int' if args.int8_exact else 'dequant')
         run = build_predict_pipeline(network, cfg,
                                      apply_fn=lambda p, x: int8.apply(p, x))
         return make_batch_predict(run, Int8Inference.prepare(qparams))
 
-    network, fused, forward = _build_forward(cfg, args.weight)
+    from pqdet_tpu.config import resolve_model_cfg
+    from pqdet_tpu.model.factory import build_detector, inference_params
+    cfg_text = None if args.weight else resolve_model_cfg(cfg)
+    network, params, state, _ = build_detector(cfg_text,
+                                               weight_path=args.weight or None)
+    fused = inference_params(network, params, state)
     run = build_predict_pipeline(network, cfg)
     return make_batch_predict(run, fused)
 
@@ -158,6 +163,9 @@ def main():
     parser.add_argument('--limit', type=int, default=100)
     parser.add_argument('--trace', default='',
                         help='write a jax.profiler trace to this directory')
+    parser.add_argument('--int8-exact', action='store_true',
+                        help='evaluate quant checkpoints with exact integer '
+                             'accumulation instead of the fast dequant mode')
     args, rest = parser.parse_known_args()
     args.opts = rest  # trailing config overrides: key value [...]
 

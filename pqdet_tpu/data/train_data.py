@@ -95,12 +95,13 @@ def assign_labels(bboxes: np.ndarray, input_size: Tuple[int, int],
             stacked = np.stack(boxes)[:max_gt]
             arr[:len(stacked)] = stacked
         padded.append(arr)
-    if truncated:
+    if truncated and not getattr(assign_labels, '_warned', False):
+        assign_labels._warned = True
         import warnings
         warnings.warn(
-            f'{truncated} GT boxes exceeded model.max_gt_boxes={max_gt} and '
-            f'were dropped from the conf-loss ignore mask; raise '
-            f'model.max_gt_boxes for crowded datasets', stacklevel=2)
+            f'GT boxes exceeded model.max_gt_boxes={max_gt} and were dropped '
+            f'from the conf-loss ignore mask; raise model.max_gt_boxes for '
+            f'crowded datasets (warned once)', stacklevel=2)
     return labels, padded
 
 

@@ -38,6 +38,7 @@ class Trainer:
         self.AP = None
         self.global_step = 0
         self.init_epoch = 0
+        self._eval_run = None  # jitted eval pipeline, per network/config
 
         c = config
         self._max_epochs = c.train.max_epochs
@@ -175,7 +176,7 @@ class Trainer:
         evaluation (rebuilding it would re-jit per epoch)."""
         from pqdet_tpu.evaluation.predict import (build_predict_pipeline,
                                                   make_batch_predict)
-        if getattr(self, '_eval_run', None) is None:
+        if self._eval_run is None:
             self._eval_run = build_predict_pipeline(
                 self.network, self.config, compute_dtype=self._compute_dtype)
         fused = inference_params(self.network, self.params, self.state)
