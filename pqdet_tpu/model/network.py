@@ -64,7 +64,8 @@ class Network:
 
     def apply(self, params: Dict, state: Dict, x: jnp.ndarray,
               targets: Optional[tuple] = None, train: bool = False,
-              rng=None, compute_dtype=None, quant_ctx=None):
+              rng=None, compute_dtype=None, quant_ctx=None,
+              pallas_decode: bool = False):
         """Run the graph. Returns (outputs, new_state).
 
         ``outputs`` is the list of yolo-head results (decoded preds in
@@ -120,7 +121,13 @@ class Network:
                 x = L.upsample_nearest(x, node.attrs['stride'])
             elif kind == 'yolo':
                 a = node.attrs
-                pred = decode(x, a['classes'], a['stride'])
+                if pallas_decode and targets is None:
+                    # fused Pallas decode kernel (inference only: the
+                    # kernel has no autodiff rule)
+                    from pqdet_tpu.ops.pallas_decode import decode_pallas
+                    pred = decode_pallas(x, a['classes'], a['stride'])
+                else:
+                    pred = decode(x, a['classes'], a['stride'])
                 if targets is None:
                     x = pred
                 else:
@@ -177,10 +184,11 @@ class DetectionNetwork(Network):
         return self.graph.yolo_nodes[0].attrs['classes']
 
     def apply(self, params, state, x, targets=None, train=False, rng=None,
-              compute_dtype=None, quant_ctx=None):
+              compute_dtype=None, quant_ctx=None, pallas_decode=False):
         outputs, new_state = super().apply(
             params, state, x, targets=targets, train=train, rng=rng,
-            compute_dtype=compute_dtype, quant_ctx=quant_ctx)
+            compute_dtype=compute_dtype, quant_ctx=quant_ctx,
+            pallas_decode=pallas_decode)
         if targets is None:
             flat = [o.reshape(o.shape[0], -1, o.shape[-1]) for o in outputs]
             return jnp.concatenate(flat, axis=1), new_state

@@ -52,6 +52,34 @@ def pad_batch_to_devices(batch_size: int, n_devices: int) -> int:
     return batch_size if rem == 0 else batch_size + (n_devices - rem)
 
 
+def init_multihost(coordinator_address: str = None, num_processes: int = None,
+                   process_id: int = None):
+    """Join a multi-host run (one controller process per host).
+
+    After this, jax.devices() spans every chip in the slice and make_mesh
+    builds a GLOBAL data mesh: batch shards ride ICI within a host and DCN
+    across hosts, with no further code changes — the train step is already
+    written against the mesh. Call before any other JAX use. Arguments are
+    read from the TPU environment when omitted.
+    """
+    import jax
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def host_local_batch_to_global(mesh: Mesh, batch):
+    """Assemble a global batch from per-host local shards (multi-host data
+    loading: each host reads only its slice of the batch). On a single
+    process this is equivalent to shard_batch_pytree."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch)
+
+
 def fit_mesh_to_batch(batch_size: int, num_devices: int = 0) -> int:
     """Largest device count <= available that divides the batch (the batch
     dim must shard evenly; a bs-12 job on 8 chips runs data-parallel x4)."""

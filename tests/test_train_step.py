@@ -245,3 +245,15 @@ def test_backbone_prefix_load(tmp_path):
 def test_pad_batch():
     assert pad_batch_to_devices(12, 8) == 16
     assert pad_batch_to_devices(16, 8) == 16
+
+
+def test_host_local_batch_to_global():
+    """Single-process path of the multi-host batch assembly helper."""
+    from pqdet_tpu.parallel.mesh import host_local_batch_to_global
+    mesh = make_mesh()
+    batch = {'image': np.ones((8, 4, 4, 3), np.float32),
+             'targets': (np.zeros((8, 2, 4), np.float32),)}
+    out = host_local_batch_to_global(mesh, batch)
+    assert out['image'].shape == (8, 4, 4, 3)
+    # sharded over the data axis
+    assert len(out['image'].sharding.device_set) == 8
