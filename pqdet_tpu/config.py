@@ -189,6 +189,10 @@ DEFAULTS: Dict[str, Any] = {
         'gamma': 0.1,
         'warmup_epochs': 1.0,
         'max_epochs': 80,
+        # train steps fused into one device dispatch via lax.scan (>1
+        # amortises per-dispatch marshalling; multi-scale sizes are then
+        # drawn per group of unroll_steps batches instead of per batch)
+        'unroll_steps': 1,
     },
     'augment': {
         'mixup_p': 0.5,

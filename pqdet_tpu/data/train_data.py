@@ -119,6 +119,7 @@ class TrainData:
         self._anchors = np.array(config.model.anchors, np.float32)
         self._iou_threshold = config.model.anchors_iou_threshold
         self._max_gt = config.model.max_gt_boxes
+        self._size_group = getattr(config.train, 'unroll_steps', 1)
 
         with open(config.dataset.train_txt_file, 'r') as fr:
             self._imgs = [l.strip() for l in fr if l.strip()]
@@ -148,9 +149,14 @@ class TrainData:
         n_batches = self.batches_per_epoch
         self._length = n_batches * self._batch_size
         self._indexes = random.choices(range(self._num_imgs), k=self._length)
-        self._sizes = random.choices(self._input_sizes, k=n_batches)
+        # one multi-scale size per size_group consecutive batches (group > 1
+        # when train steps are scan-unrolled and must share a shape)
+        g = max(self._size_group, 1)
+        group_sizes = random.choices(self._input_sizes, k=ceil(n_batches / g))
+        self._sizes = [group_sizes[i // g] for i in range(n_batches)]
         largest = int(np.argmax([h * w for h, w in self._input_sizes]))
-        self._sizes[0] = self._input_sizes[largest]
+        for i in range(min(g, n_batches)):
+            self._sizes[i] = self._input_sizes[largest]
         self.input_size = self._sizes[0]
 
     def _current_input_size(self):

@@ -111,12 +111,37 @@ def make_train_step(network: DetectionNetwork, optimizer,
     return train_step
 
 
-def jit_train_step(train_step, mesh):
+def make_multi_step(train_step, unroll: int):
+    """Roll ``unroll`` train steps into one program with lax.scan.
+
+    Amortises per-dispatch overhead when steps are small/fast (tiny models,
+    small batches). Measured on v5e with mobilenetv2-fpn bs=16 the step is
+    device-bound (~40 ms) and unroll=8 changes nothing — it pays off only
+    when dispatch dominates. Batches arrive stacked with a leading (K, ...)
+    axis (all K at the same spatial size); metrics come back stacked.
+    """
+    def multi_step(params, state, opt_state, batches, rngs):
+        def body(carry, xs):
+            p, s, o = carry
+            batch, rng = xs
+            p, s, o, metrics = train_step(p, s, o, batch, rng)
+            return (p, s, o), metrics
+        (params, state, opt_state), metrics = jax.lax.scan(
+            body, (params, state, opt_state), (batches, rngs), length=unroll)
+        return params, state, opt_state, metrics
+
+    return multi_step
+
+
+def jit_train_step(train_step, mesh, unroll: int = 1):
     """jit with explicit shardings: batch sharded over the data axis,
-    params/state/opt replicated; donates the carried pytrees."""
+    params/state/opt replicated; donates the carried pytrees. With
+    unroll > 1 the step must be a make_multi_step and batches carry a
+    leading scan axis."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(DATA_AXIS))
+    data = NamedSharding(mesh, P(DATA_AXIS) if unroll == 1
+                         else P(None, DATA_AXIS))
     return jax.jit(
         train_step,
         in_shardings=(repl, repl, repl, data, repl),

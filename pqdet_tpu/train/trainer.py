@@ -108,18 +108,31 @@ class Trainer:
             print(f'sparse mode: {len(sparse_ids)}/{n_all} BN layers will be sparsed.')
         self._sparse_ids = sparse_ids
 
+        self._unroll = max(getattr(self.config.train, 'unroll_steps', 1), 1)
+        if self._unroll > 1:
+            # stacked groups carry a leading scan axis before the batch dim
+            from jax.sharding import NamedSharding, PartitionSpec
+            from pqdet_tpu.parallel.mesh import DATA_AXIS
+            self._data_sh = NamedSharding(self.mesh,
+                                          PartitionSpec(None, DATA_AXIS))
+
+        def _jit(step_fn):
+            from pqdet_tpu.train.step import make_multi_step
+            if self._unroll > 1:
+                step_fn = make_multi_step(step_fn, self._unroll)
+            return jit_train_step(step_fn, self.mesh, unroll=self._unroll)
+
         if self._quant:
             # jit specialises on the observer/BN-freeze phase flags; the
             # step is re-jitted when the schedule flips them (the closure
             # reads them at trace time)
-            self._make_jstep = lambda: jit_train_step(self._wrap_quant_step(),
-                                                      self.mesh)
+            self._make_jstep = lambda: _jit(self._wrap_quant_step())
         else:
             step_fn = make_train_step(
                 self.network, self.optimizer,
                 sparse_ratio=self._sparse_ratio if self._sparse else 0.0,
                 sparse_ids=sparse_ids, compute_dtype=self._compute_dtype)
-            self._make_jstep = lambda: jit_train_step(step_fn, self.mesh)
+            self._make_jstep = lambda: _jit(step_fn)
         self.jstep = self._make_jstep()
 
         put = lambda t: jax.tree.map(lambda x: jax.device_put(x, self._repl), t)
@@ -205,45 +218,97 @@ class Trainer:
 
     # ----------------------------------------------------------------- train
 
+    def _flush_metrics(self, epoch: int, pending, final: bool = False):
+        """Materialise buffered device metrics in ONE host sync (a per-step
+        float() costs a full tunnel roundtrip — profiled at ~3x the actual
+        ~13ms device step time). NaN detection happens here, i.e. within
+        one print interval of the bad step."""
+        if not pending:
+            return
+        host = jax.device_get(pending)
+        pending.clear()
+        for m in host:
+            # metrics may be single-step (scalars) or scan-stacked (K, ...)
+            losses = np.asarray(m['loss']).reshape(-1)
+            k = losses.size
+            branch = np.asarray(m['loss_per_branch']).reshape(k, -1)
+            scalars = {name: np.asarray(m[name]).reshape(-1)
+                       for name in ('giou_loss', 'conf_loss', 'class_loss')}
+            for step_i in range(k):
+                loss_val = float(losses[step_i])
+                if not np.isfinite(loss_val):
+                    raise RuntimeError(
+                        f'NaN in loss near step {self.global_step}')
+                self.losses['loss'].update(loss_val)
+                for name, vals in scalars.items():
+                    self.losses[name].update(float(vals[step_i]))
+                for i in range(branch.shape[1]):
+                    self.losses['loss_per_branch'][i].update(
+                        float(branch[step_i, i]))
+        if not final:
+            vals = {k: v.get_avg_reset() for k, v in self.losses.items()
+                    if not isinstance(v, list)}
+            branch = [b.get_avg_reset() for b in self.losses['loss_per_branch']]
+            lr = float(self.schedule(self.global_step))
+            print(f'lr: {lr:.6f}\tepoch: {epoch}/{self._max_epochs}\t'
+                  f'step: {self.global_step}\t'
+                  f'train_loss: {vals["loss"]:.2f}='
+                  f'{branch[0]:.2f}+{branch[1]:.2f}+{branch[2]:.2f}'
+                  f'(xy: {vals["giou_loss"]:.2f}, conf: {vals["conf_loss"]:.2f}, '
+                  f'cls: {vals["class_loss"]:.2f})')
+
+    def _grouped_batches(self):
+        """Yield (host batch, steps) pairs: single batches at unroll=1,
+        else groups of unroll same-size batches stacked on a leading scan
+        axis (the size plan draws one size per group; a ragged final group
+        pads by repeating its last batch — training samples with
+        replacement anyway)."""
+        unroll = self._unroll
+        it = epoch_batches(self.train_data, self._num_workers,
+                           prefetch=self.config.system.prefetch)
+        if unroll == 1:
+            for batch in it:
+                yield batch, 1
+            return
+        group = []
+        for batch in it:
+            group.append(batch)
+            if len(group) == unroll:
+                yield self._stack_group(group), unroll
+                group = []
+        if group:
+            while len(group) < unroll:
+                group.append(group[-1])
+            yield self._stack_group(group), unroll
+
+    @staticmethod
+    def _stack_group(group):
+        return jax.tree.map(lambda *xs: np.stack(xs), *group)
+
     def train_epoch(self, epoch: int):
+        pending = []
         self.dataload_tt.tic()
-        for batch in epoch_batches(self.train_data, self._num_workers,
-                                   prefetch=self.config.system.prefetch):
-            self.global_step += 1
+        for batch, steps in self._grouped_batches():
+            self.global_step += steps
             batch = jax.tree.map(
                 lambda x: jax.device_put(jnp.asarray(x), self._data_sh), batch)
             self.dataload_tt.toc()
 
             self.model_tt.tic()
             self._rng, rng = jax.random.split(self._rng)
+            if steps > 1:
+                rng = jax.random.split(rng, steps)
             self.params, self.state, self.opt_state, metrics = self.jstep(
                 self.params, self.state, self.opt_state, batch, rng)
-            metrics = jax.block_until_ready(metrics)
+            pending.append(metrics)  # device scalars; sync'd in bulk below
             self.model_tt.toc()
 
-            loss_val = float(metrics['loss'])
-            if not np.isfinite(loss_val):
-                raise RuntimeError(f'NaN in loss at step {self.global_step}')
-            self.losses['loss'].update(loss_val)
-            self.losses['giou_loss'].update(float(metrics['giou_loss']))
-            self.losses['conf_loss'].update(float(metrics['conf_loss']))
-            self.losses['class_loss'].update(float(metrics['class_loss']))
-            for i, m in enumerate(np.asarray(metrics['loss_per_branch'])):
-                self.losses['loss_per_branch'][i].update(float(m))
-
-            if self.global_step % self._print_interval == 0:
-                vals = {k: v.get_avg_reset() for k, v in self.losses.items()
-                        if not isinstance(v, list)}
-                branch = [m.get_avg_reset() for m in self.losses['loss_per_branch']]
-                lr = float(self.schedule(self.global_step))
-                print(f'lr: {lr:.6f}\tepoch: {epoch}/{self._max_epochs}\t'
-                      f'step: {self.global_step}\t'
-                      f'train_loss: {vals["loss"]:.2f}='
-                      f'{branch[0]:.2f}+{branch[1]:.2f}+{branch[2]:.2f}'
-                      f'(xy: {vals["giou_loss"]:.2f}, conf: {vals["conf_loss"]:.2f}, '
-                      f'cls: {vals["class_loss"]:.2f})')
+            if self.global_step % self._print_interval < steps:
+                self._flush_metrics(epoch, pending)
 
             self.dataload_tt.tic()
+        self._flush_metrics(epoch, pending, final=True)
+        jax.block_until_ready(self.params)
 
         self.train_data.init_shuffle()
 

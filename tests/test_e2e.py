@@ -159,3 +159,18 @@ def test_macs_parity_with_reference():
         assert abs(params - ref_params) / ref_params < 0.001, name
         assert abs(macs - ref_macs) / ref_macs < 0.001, \
             f'{name}: {macs / 1e9:.3f}G vs {ref_macs / 1e9:.3f}G'
+
+
+def test_trainer_unrolled_steps(tiny_cfg):
+    """unroll_steps>1 trains via scanned multi-step dispatches end to end."""
+    cfg = tiny_cfg.clone().defrost()
+    cfg.train.unroll_steps = 2
+    cfg.train.max_epochs = 1
+    cfg.eval.after = 0
+    cfg.freeze()
+    from pqdet_tpu.train.trainer import Trainer
+    trainer = Trainer(cfg)
+    trainer.run()
+    # 4 images / bs 2 = 2 batches = 1 group of 2 steps
+    assert trainer.global_step == 2
+    assert trainer.AP is not None

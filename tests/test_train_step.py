@@ -257,3 +257,44 @@ def test_host_local_batch_to_global():
     assert out['image'].shape == (8, 4, 4, 3)
     # sharded over the data axis
     assert len(out['image'].sharding.device_set) == 8
+
+
+def test_multi_step_unroll_equivalence():
+    """A scanned 4-step dispatch must land on the same params as 4 single
+    dispatches with the same batches/rngs."""
+    from pqdet_tpu.train.step import make_multi_step
+    net = DetectionNetwork.from_cfg(get_mesh_cfg())
+    mesh = make_mesh()
+    params, state = net.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(cosine_warmup(1e-3, 1e-6, 1, 10000))
+    opt_state = opt.init(params)
+    step = make_train_step(net, opt)
+
+    batch = _make_batch(8, 64)
+    rngs = jax.random.split(jax.random.PRNGKey(1), 4)
+    # host copies: the jitted steps donate their carried pytrees
+    host = jax.device_get((params, state, opt_state))
+
+    # single-step path
+    jstep = jit_train_step(step, mesh)
+    repl = replicated(mesh)
+    p1, s1, o1 = jax.tree.map(lambda x: jax.device_put(x, repl), host)
+    b1 = jax.tree.map(lambda x: jax.device_put(x, batch_sharding(mesh)), batch)
+    metrics_single = []
+    for i in range(4):
+        p1, s1, o1, m = jstep(p1, s1, o1, b1, rngs[i])
+        metrics_single.append(float(m['loss']))
+
+    # scanned path: same batch repeated on the leading axis
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    jmulti = jit_train_step(make_multi_step(step, 4), mesh, unroll=4)
+    p2, s2, o2 = jax.tree.map(lambda x: jax.device_put(x, repl), host)
+    stacked = jax.tree.map(lambda x: jnp.stack([x] * 4), batch)
+    stacked = jax.tree.map(lambda x: jax.device_put(
+        x, NamedSharding(mesh, P(None, 'data'))), stacked)
+    p2, s2, o2, m = jmulti(p2, s2, o2, stacked, rngs)
+    np.testing.assert_allclose(np.asarray(m['loss']).reshape(-1),
+                               metrics_single, rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
