@@ -45,6 +45,24 @@ def _build_forward(cfg, weight, compute_dtype=None):
 
 def cmd_time(args, cfg):
     import jax.numpy as jnp
+    if args.shlo:
+        # time an exported StableHLO serving artifact (the reference's
+        # `benchmark --onnx` analogue, test.py:22-40)
+        from pqdet_tpu.exporters.export import load_stablehlo
+        with open(args.shlo, 'rb') as fr:
+            fn = load_stablehlo(fr.read())
+        x = jnp.zeros((args.bs, args.size, args.size, 3), jnp.float32)
+        import jax
+        for _ in range(10):
+            jax.block_until_ready(fn(x))
+        ts = []
+        for _ in range(64):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(x))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        print(f'stablehlo: {np.mean(ts):.3f}ms (p50 {np.percentile(ts, 50):.3f}ms) '
+              f'bs={args.bs} size={args.size}')
+        return
     dtype = jnp.bfloat16 if args.bf16 else None
     _, fused, forward = _build_forward(cfg, args.weight, dtype)
     x = jnp.asarray(np.zeros((args.bs, args.size, args.size, 3), np.float32))
@@ -163,6 +181,9 @@ def main():
     parser.add_argument('--limit', type=int, default=100)
     parser.add_argument('--trace', default='',
                         help='write a jax.profiler trace to this directory')
+    parser.add_argument('--shlo', default='',
+                        help='time an exported StableHLO artifact instead '
+                             'of a checkpoint')
     parser.add_argument('--int8-exact', action='store_true',
                         help='evaluate quant checkpoints with exact integer '
                              'accumulation instead of the fast dequant mode')
