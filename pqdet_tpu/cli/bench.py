@@ -61,7 +61,8 @@ def cmd_time(args, cfg):
             jax.block_until_ready(fn(x))
             ts.append((time.perf_counter() - t0) * 1e3)
         print(f'stablehlo: {np.mean(ts):.3f}ms (p50 {np.percentile(ts, 50):.3f}ms) '
-              f'bs={args.bs} size={args.size}')
+              f'bs={args.bs} size={args.size}  '
+              f'[dispatch-level timing; see bench.py for fenced methodology]')
         return
     dtype = jnp.bfloat16 if args.bf16 else None
     _, fused, forward = _build_forward(cfg, args.weight, dtype)

@@ -140,7 +140,13 @@ class TrainData:
 
     @property
     def batches_per_epoch(self):
-        return ceil(self._num_imgs / self._batch_size)
+        """Batches per epoch, rounded UP to a whole number of size groups
+        so scan-unrolled training sees only full groups and the trainer's
+        steps_per_epoch matches the steps that actually run (sampling is
+        with replacement, so the extra batches are just more samples)."""
+        n = ceil(self._num_imgs / self._batch_size)
+        g = max(self._size_group, 1)
+        return ceil(n / g) * g
 
     def __len__(self):
         return self._length

@@ -57,10 +57,13 @@ def init_multihost(coordinator_address: str = None, num_processes: int = None,
     """Join a multi-host run (one controller process per host).
 
     After this, jax.devices() spans every chip in the slice and make_mesh
-    builds a GLOBAL data mesh: batch shards ride ICI within a host and DCN
-    across hosts, with no further code changes — the train step is already
-    written against the mesh. Call before any other JAX use. Arguments are
-    read from the TPU environment when omitted.
+    builds a GLOBAL data mesh (batch shards ride ICI within a host, DCN
+    across hosts). The jitted TRAIN STEP is already mesh-generic; the DATA
+    side is not yet: each host must load only its slice of the batch and
+    assemble global arrays with host_local_batch_to_global (plus a shared
+    epoch-plan seed) — the single-host Trainer does neither, so multi-host
+    needs a loader shim on top of these primitives. Call before any other
+    JAX use; arguments come from the TPU environment when omitted.
     """
     import jax
     kwargs = {}

@@ -260,9 +260,9 @@ class Trainer:
     def _grouped_batches(self):
         """Yield (host batch, steps) pairs: single batches at unroll=1,
         else groups of unroll same-size batches stacked on a leading scan
-        axis (the size plan draws one size per group; a ragged final group
-        pads by repeating its last batch — training samples with
-        replacement anyway)."""
+        axis. TrainData rounds its epoch plan up to whole groups, so the
+        ragged-tail padding below is defensive only and global_step stays
+        consistent with steps_per_epoch."""
         unroll = self._unroll
         it = epoch_batches(self.train_data, self._num_workers,
                            prefetch=self.config.system.prefetch)
@@ -285,8 +285,14 @@ class Trainer:
     def _stack_group(group):
         return jax.tree.map(lambda *xs: np.stack(xs), *group)
 
+    # dispatches kept in flight before fencing: preserves host/device
+    # overlap while bounding queued input batches in HBM (an unbounded
+    # queue OOMs mid-epoch when the data pipeline outruns the device)
+    PIPELINE_DEPTH = 4
+
     def train_epoch(self, epoch: int):
         pending = []
+        in_flight = []
         self.dataload_tt.tic()
         for batch, steps in self._grouped_batches():
             self.global_step += steps
@@ -301,6 +307,11 @@ class Trainer:
             self.params, self.state, self.opt_state, metrics = self.jstep(
                 self.params, self.state, self.opt_state, batch, rng)
             pending.append(metrics)  # device scalars; sync'd in bulk below
+            in_flight.append(metrics['loss'])
+            if len(in_flight) > self.PIPELINE_DEPTH:
+                # fence the oldest outstanding step; amortised device time
+                # lands in model_tt (shifted by PIPELINE_DEPTH steps)
+                jax.block_until_ready(in_flight.pop(0))
             self.model_tt.toc()
 
             if self.global_step % self._print_interval < steps:
