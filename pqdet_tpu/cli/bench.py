@@ -123,8 +123,9 @@ def _make_predict(args, cfg):
 
 
 def cmd_benchmark(args, cfg):
-    """Per-stage timing over real eval images (reference test.py:136-193):
-    FORWARD (net only), POST (recover+NMS on device), TOTAL."""
+    """Per-stage timing over real eval images, four-way like the reference
+    (test.py:155-193): TOTAL / FORWARD (net) / CONVERT (recover affine) /
+    NMS, each stage a separate jitted function fetched to completion."""
     import jax
     import jax.numpy as jnp
     from pqdet_tpu.config import size_fix
@@ -138,32 +139,44 @@ def cmd_benchmark(args, cfg):
     input_size = np.array(size_fix(cfg.eval.input_size), np.float32)
 
     @jax.jit
-    def post(preds, shapes):
-        rec = recover_bboxes(preds, jnp.asarray(input_size), shapes, affine=affine)
+    def convert(preds, shapes):
+        return recover_bboxes(preds, jnp.asarray(input_size), shapes,
+                              affine=affine)
+
+    @jax.jit
+    def nms(rec):
         return nms_batch(rec, cfg.eval.score_threshold, cfg.eval.iou_threshold,
-                         cfg.eval.max_detections)
+                         cfg.eval.max_detections,
+                         getattr(cfg.eval, 'pool_factor', 4),
+                         getattr(cfg.eval, 'nms_method', 'nms'),
+                         getattr(cfg.eval, 'nms_sigma', 0.3))
 
     data = EvalData(cfg)
-    fw_tt, post_tt, total_tt = TicToc('fwd'), TicToc('post'), TicToc('total')
+    fw_tt, cv_tt, nms_tt, total_tt = (TicToc('forward'), TicToc('convert'),
+                                      TicToc('nms'), TicToc('total'))
     n_img = 0
     for i, batch in enumerate(data.batches(cfg.system.num_workers)):
         x = jnp.asarray(batch['image'])
         shapes = jnp.asarray(batch['shape'])
-        if i == 0:  # compile
-            post(forward(fused, x), shapes).valid.block_until_ready()
+        if i == 0:  # compile all stages
+            nms(convert(forward(fused, x), shapes)).valid.block_until_ready()
         total_tt.tic()
         fw_tt.tic()
         preds = forward(fused, x)
         preds.block_until_ready()
         fw_tt.toc()
-        post_tt.tic()
-        post(preds, shapes).valid.block_until_ready()
-        post_tt.toc()
+        cv_tt.tic()
+        rec = convert(preds, shapes)
+        rec.block_until_ready()
+        cv_tt.toc()
+        nms_tt.tic()
+        nms(rec).valid.block_until_ready()
+        nms_tt.toc()
         total_tt.toc()
         n_img += batch['count']
         if args.limit and n_img >= args.limit:
             break
-    for tt in (total_tt, fw_tt, post_tt):
+    for tt in (total_tt, fw_tt, cv_tt, nms_tt):
         s = tt.statistics()
         print('{}: mean {:.2f}ms/batch ({:.2f}ms/img over {} imgs)'.format(
             s['name'], s['mean'] / 1e6, s['mean'] / 1e6 / max(

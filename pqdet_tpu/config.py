@@ -219,6 +219,12 @@ DEFAULTS: Dict[str, Any] = {
         'map_iou': 0.5,
         'partial': 0,
         'max_detections': 256,     # static NMS output size
+        # NMS candidate pool = max_detections * pool_factor top-scored
+        # (box, class) pairs; NMSResult.overflow fires (and the evaluator
+        # logs) if more pairs clear score_threshold than the pool holds
+        'pool_factor': 4,
+        'nms_method': 'nms',       # 'nms' | 'soft-nms' (tools.py:507-538)
+        'nms_sigma': 0.3,          # gaussian decay for soft-nms
     },
     'sparse': {
         'switch': False,

@@ -31,6 +31,9 @@ def build_predict_pipeline(network, cfg, compute_dtype=None,
     score_thr = cfg.eval.score_threshold
     iou_thr = cfg.eval.iou_threshold
     max_det = cfg.eval.max_detections
+    pool_factor = getattr(cfg.eval, 'pool_factor', 4)
+    method = getattr(cfg.eval, 'nms_method', 'nms')
+    sigma = getattr(cfg.eval, 'nms_sigma', 0.3)
 
     if apply_fn is None:
         def apply_fn(params, images):
@@ -43,18 +46,33 @@ def build_predict_pipeline(network, cfg, compute_dtype=None,
         preds = apply_fn(params, images)
         recovered = recover_bboxes(preds, jnp.asarray(input_size), shapes,
                                    affine=affine)
-        return nms_batch(recovered, score_thr, iou_thr, max_det)
+        return nms_batch(recovered, score_thr, iou_thr, max_det,
+                         pool_factor, method, sigma)
 
     return run
 
 
 def make_batch_predict(run, params) -> Callable[[Dict], List[np.ndarray]]:
     """Wrap a pipeline into the Evaluator's predict contract:
-    batch dict -> list of per-image (M, 6) numpy detections."""
+    batch dict -> list of per-image (M, 6) numpy detections.
+
+    Logs once per eval if any image's NMS candidate pool overflowed (more
+    above-threshold (box, class) pairs than max_detections * pool_factor):
+    detections are then the top-scored subset and AP may shift; the fix is
+    raising eval.pool_factor.
+    """
+    warned = [False]
+
     def predict(batch):
         res = run(params, jnp.asarray(batch['image']),
                   jnp.asarray(batch['shape']))
         res = jax.tree.map(np.asarray, res)  # one device->host transfer
+        n_over = int(res.overflow[:batch['count']].sum())
+        if n_over and not warned[0]:
+            warned[0] = True
+            print(f'WARNING: NMS candidate pool overflowed on {n_over} '
+                  f'image(s) in a batch; raise eval.pool_factor '
+                  f'(detections beyond the pool are dropped).')
         return [nms_to_numpy(jax.tree.map(lambda x: x[i], res))
                 for i in range(batch['count'])]
     return predict

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 import traceback
 from typing import Optional
 
@@ -21,27 +20,25 @@ from pqdet_tpu.nas.detnet import detnet_600m
 from pqdet_tpu.utils.profiling import count_macs_params
 
 
-def measure_latency(cfg_text: str, input_size: int = 512, iters: int = 16) -> float:
-    """Mean jitted forward latency (ms) of a candidate on the default
-    backend."""
+def measure_latency(cfg_text: str, input_size: int = 512, chain: int = 8,
+                    reps: int = 4) -> float:
+    """Median jitted forward latency (ms) of a candidate via the chained-jit
+    methodology (utils.profiling.chained_forward_latency) — block_until_ready
+    does not fence device execution on the axon tunnel, so naive per-call
+    timing would pass every candidate through the max_latency_ms filter."""
     import jax
-    import jax.numpy as jnp
     from pqdet_tpu.model.network import DetectionNetwork, fuse_params
+    from pqdet_tpu.utils.profiling import chained_forward_latency
 
     net = DetectionNetwork.from_cfg(cfg_text)
     params, state = net.init(jax.random.PRNGKey(0))
     fused = fuse_params(net, params, state)
 
-    @jax.jit
     def fwd(p, x):
         return net.apply(p, {}, x)[0]
 
-    x = jnp.zeros((1, input_size, input_size, 3))
-    fwd(fused, x).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        fwd(fused, x).block_until_ready()
-    return (time.perf_counter() - t0) / iters * 1e3
+    return chained_forward_latency(fwd, fused, (1, input_size, input_size, 3),
+                                   chain=chain, reps=reps)
 
 
 def generate_candidates(n: int, max_macs: float = 5e9, min_macs: float = 0.0,

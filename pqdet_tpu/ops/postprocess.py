@@ -81,11 +81,13 @@ class NMSResult(NamedTuple):
     scores: jnp.ndarray   # (K,)
     classes: jnp.ndarray  # (K,) int32
     valid: jnp.ndarray    # (K,) bool — kept & above threshold
+    overflow: jnp.ndarray  # () bool — pool clipped above-threshold candidates
 
 
 def nms_single(boxes_scores: jnp.ndarray, score_threshold: float,
                iou_threshold: float, max_outputs: int = 256,
-               pool_factor: int = 4) -> NMSResult:
+               pool_factor: int = 4, method: str = 'nms',
+               sigma: float = 0.3) -> NMSResult:
     """Greedy class-offset NMS for one image, fixed output size.
 
     boxes_scores: (N, 4+C) from recover_bboxes. Every (box, class) pair with
@@ -97,7 +99,18 @@ def nms_single(boxes_scores: jnp.ndarray, score_threshold: float,
     a pool only as large as the output would wrongly drop candidates that
     outrank the threshold but would only surface after suppression removes
     higher-scored duplicates). The kept detections are then compacted,
-    score-ordered, into the fixed-size output.
+    score-ordered, into the fixed-size output. ``overflow`` reports when more
+    than the pool's worth of (box, class) pairs cleared the threshold — i.e.
+    the fixed-shape result may differ from suppressing the full set; callers
+    should log it and raise ``pool_factor`` if it ever fires.
+
+    ``method='soft-nms'`` implements the reference's Gaussian soft-NMS
+    (tools.py:507-538): sequentially pick the highest-scoring live candidate,
+    decay every other same-class candidate by exp(-iou^2/sigma), drop those
+    falling below score_threshold, repeat. Because decay only touches
+    same-class boxes, a global argmax loop is pick-for-pick identical to the
+    reference's per-class loops; output scores are the decayed pick-time
+    scores, ordered by pick.
     """
     boxes = boxes_scores[:, :4]
     scores = boxes_scores[:, 4:]
@@ -110,6 +123,12 @@ def nms_single(boxes_scores: jnp.ndarray, score_threshold: float,
     classes = top_idx % c
     cand = boxes[box_idx]
     valid = top_scores > score_threshold
+    overflow = jnp.sum(flat > score_threshold) > k
+
+    if method == 'soft-nms':
+        return _soft_nms_pool(cand, classes, top_scores, valid, overflow,
+                              score_threshold, sigma, max_outputs, k)
+    assert method == 'nms', method
 
     # separate classes by shifting boxes with a data-dependent offset
     span = jnp.max(boxes) + 1.0
@@ -145,14 +164,48 @@ def nms_single(boxes_scores: jnp.ndarray, score_threshold: float,
     # output size: stable argsort on ~keep moves kept rows first in order
     m = min(max_outputs, k)
     sel = jnp.argsort(~keep, stable=True)[:m]
-    return NMSResult(cand[sel], top_scores[sel], classes[sel], keep[sel])
+    return NMSResult(cand[sel], top_scores[sel], classes[sel], keep[sel],
+                     overflow)
+
+
+def _soft_nms_pool(cand, classes, top_scores, valid, overflow,
+                   score_threshold, sigma, max_outputs, k):
+    """Fixed-shape Gaussian soft-NMS over the candidate pool (see nms_single)."""
+    iou_mat = iou(cand[:, None, :], cand[None, :, :])               # (k, k)
+    same = classes[:, None] == classes[None, :]
+    decay = jnp.where(same, jnp.exp(-(iou_mat ** 2) / sigma), 1.0)  # (k, k)
+    m = min(max_outputs, k)
+
+    def body(t, state):
+        cur, picked, pick_scores, pick_rank = state
+        alive = valid & ~picked & (cur > score_threshold)
+        i = jnp.argmax(jnp.where(alive, cur, -jnp.inf))
+        has = jnp.any(alive)
+        onehot = (jnp.arange(k) == i) & has
+        picked = picked | onehot
+        pick_scores = jnp.where(onehot, cur, pick_scores)
+        pick_rank = jnp.where(onehot, t, pick_rank)
+        # decay un-picked same-class candidates by the picked row's weights
+        cur = jnp.where(has & ~picked, cur * decay[i], cur)
+        return cur, picked, pick_scores, pick_rank
+
+    init = (top_scores, jnp.zeros((k,), bool), jnp.zeros((k,), top_scores.dtype),
+            jnp.full((k,), k, jnp.int32))
+    _, picked, pick_scores, pick_rank = jax.lax.fori_loop(0, m, body, init)
+
+    sel = jnp.argsort(pick_rank)[:m]   # pick order; un-picked (rank k) last
+    return NMSResult(cand[sel], pick_scores[sel], classes[sel], picked[sel],
+                     overflow)
 
 
 def nms_batch(boxes_scores: jnp.ndarray, score_threshold: float,
-              iou_threshold: float, max_outputs: int = 256) -> NMSResult:
+              iou_threshold: float, max_outputs: int = 256,
+              pool_factor: int = 4, method: str = 'nms',
+              sigma: float = 0.3) -> NMSResult:
     """vmapped NMS over a batch: (B, N, 4+C) -> NMSResult with leading B."""
     return jax.vmap(
-        lambda bs: nms_single(bs, score_threshold, iou_threshold, max_outputs)
+        lambda bs: nms_single(bs, score_threshold, iou_threshold, max_outputs,
+                              pool_factor, method, sigma)
     )(boxes_scores)
 
 

@@ -63,6 +63,46 @@ def clever_format(n: float, unit_step: float = 1e9, suffixes=('G', 'M', 'K')) ->
     return str(n)
 
 
+def chained_forward_latency(apply_fn, params, input_shape, chain: int = 8,
+                            reps: int = 8, dtype=None) -> float:
+    """Honest per-forward latency (ms) via the chained-jit methodology.
+
+    On the axon TPU tunnel ``block_until_ready`` does NOT fence device
+    execution (naive timings read ~0.1 ms), so ``chain`` forwards are linked
+    inside ONE jit with a true value dependency (each iteration's input is
+    perturbed by the previous output's sum) and a scalar is fetched; wall
+    time per iteration is then real device time plus 1/chain of the host
+    roundtrip (conservative). Same method as bench.py.
+
+    apply_fn(params, x) -> array; input_shape includes the batch dim.
+    """
+    import time as _time
+    import numpy as _np
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+
+    @jax.jit
+    def chained(p, x):
+        acc = jnp.float32(0)
+        for _ in range(chain):
+            y = apply_fn(p, x)
+            s = y.astype(jnp.float32).sum() * 1e-20
+            acc = acc + s
+            x = x + s.astype(x.dtype)
+        return acc
+
+    x = jnp.asarray(_np.random.RandomState(0).rand(*input_shape), dtype)
+    float(chained(params, x))  # compile + warmup
+    times = []
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        float(chained(params, x))
+        times.append((_time.perf_counter() - t0) * 1e3)
+    return float(_np.median(times)) / chain
+
+
 @contextmanager
 def trace(log_dir: str = '/tmp/pqdet_trace'):
     """jax.profiler trace wrapper (replaces the reference's TicToc-only

@@ -161,6 +161,18 @@ def test_macs_parity_with_reference():
             f'{name}: {macs / 1e9:.3f}G vs {ref_macs / 1e9:.3f}G'
 
 
+def test_benchmark_cli_stage_split(tiny_cfg, capsys):
+    """cmd_benchmark reports the reference's four-way stage split
+    (test.py:155-193): TOTAL / FORWARD / CONVERT / NMS."""
+    import argparse
+    from pqdet_tpu.cli.bench import cmd_benchmark
+    args = argparse.Namespace(weight='', limit=4, bf16=False)
+    cmd_benchmark(args, tiny_cfg)
+    out = capsys.readouterr().out
+    for stage in ('total', 'forward', 'convert', 'nms'):
+        assert f'{stage}: mean' in out, out
+
+
 def test_trainer_unrolled_steps(tiny_cfg):
     """unroll_steps>1 trains via scanned multi-step dispatches end to end."""
     cfg = tiny_cfg.clone().defrost()
