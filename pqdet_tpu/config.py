@@ -161,6 +161,9 @@ DEFAULTS: Dict[str, Any] = {
         # on TPU with matching loss curves; set 'float32' for bitwise parity
         'compute_dtype': 'bfloat16',
         'prefetch': 2,             # device prefetch depth
+        # epoch-plan seed: deterministic sample/size plan, shared by every
+        # host in a multi-host run (each host loads its slice of the plan)
+        'seed': 0,
     },
     'experiment_name': 'VOC',
     'dataset': {

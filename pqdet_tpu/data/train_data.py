@@ -106,9 +106,18 @@ def assign_labels(bboxes: np.ndarray, input_size: Tuple[int, int],
 
 
 class TrainData:
-    """Epoch-planned training data source (one sample at a time)."""
+    """Epoch-planned training data source (one sample at a time).
 
-    def __init__(self, config):
+    Multi-host (the reference's DataParallel generalised, tools.py:216):
+    the epoch PLAN (sample indices + per-batch multi-scale sizes) is drawn
+    from a ``system.seed``-seeded generator so every host computes the SAME
+    plan, and ``batch_indices`` returns only this host's contiguous slice
+    of each global batch (host h of H loads batch rows [h*B/H, (h+1)*B/H)).
+    Per-sample augment randomness stays host-local — only the plan must
+    agree across hosts.
+    """
+
+    def __init__(self, config, num_hosts: int = 1, host_id: int = 0):
         self._name = config.dataset.name.lower()
         self._input_sizes = sizes_fix(config.train.input_sizes)
         self._strides = np.array(config.model.strides)
@@ -120,6 +129,12 @@ class TrainData:
         self._iou_threshold = config.model.anchors_iou_threshold
         self._max_gt = config.model.max_gt_boxes
         self._size_group = getattr(config.train, 'unroll_steps', 1)
+        if self._batch_size % num_hosts:
+            raise ValueError(f'train.batch_size={self._batch_size} must be '
+                             f'divisible by num_hosts={num_hosts}')
+        self._num_hosts = num_hosts
+        self._host_id = host_id
+        self._plan_rng = random.Random(getattr(config.system, 'seed', 0))
 
         with open(config.dataset.train_txt_file, 'r') as fr:
             self._imgs = [l.strip() for l in fr if l.strip()]
@@ -154,11 +169,13 @@ class TrainData:
     def init_shuffle(self):
         n_batches = self.batches_per_epoch
         self._length = n_batches * self._batch_size
-        self._indexes = random.choices(range(self._num_imgs), k=self._length)
+        self._indexes = self._plan_rng.choices(range(self._num_imgs),
+                                               k=self._length)
         # one multi-scale size per size_group consecutive batches (group > 1
         # when train steps are scan-unrolled and must share a shape)
         g = max(self._size_group, 1)
-        group_sizes = random.choices(self._input_sizes, k=ceil(n_batches / g))
+        group_sizes = self._plan_rng.choices(self._input_sizes,
+                                             k=ceil(n_batches / g))
         self._sizes = [group_sizes[i // g] for i in range(n_batches)]
         largest = int(np.argmax([h * w for h, w in self._input_sizes]))
         for i in range(min(g, n_batches)):
@@ -186,8 +203,12 @@ class TrainData:
         return image.astype(np.float32), labels, padded
 
     def batch_indices(self) -> List[List[int]]:
+        """This host's slice of each global batch (full batches on 1 host)."""
         b = self._batch_size
-        return [list(range(i * b, (i + 1) * b)) for i in range(self.batches_per_epoch)]
+        lb = b // self._num_hosts
+        lo = self._host_id * lb
+        return [list(range(i * b + lo, i * b + lo + lb))
+                for i in range(self.batches_per_epoch)]
 
 
 def make_batch(data: TrainData, indices: List[int], pool=None) -> dict:

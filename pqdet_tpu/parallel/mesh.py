@@ -58,12 +58,14 @@ def init_multihost(coordinator_address: str = None, num_processes: int = None,
 
     After this, jax.devices() spans every chip in the slice and make_mesh
     builds a GLOBAL data mesh (batch shards ride ICI within a host, DCN
-    across hosts). The jitted TRAIN STEP is already mesh-generic; the DATA
-    side is not yet: each host must load only its slice of the batch and
-    assemble global arrays with host_local_batch_to_global (plus a shared
-    epoch-plan seed) — the single-host Trainer does neither, so multi-host
-    needs a loader shim on top of these primitives. Call before any other
-    JAX use; arguments come from the TPU environment when omitted.
+    across hosts). The Trainer detects jax.process_count() > 1 and switches
+    to multi-host data loading automatically: every host computes the same
+    system.seed-seeded epoch plan, loads only its contiguous slice of each
+    batch (TrainData num_hosts/host_id), and assembles global arrays with
+    host_local_batch_to_global; eval + checkpoints run on process 0. Call
+    before any other JAX use; arguments come from the TPU environment when
+    omitted. Tested end-to-end by tests/test_multihost.py (2-process CPU
+    cluster, loss identical to the single-host run on the same batch).
     """
     import jax
     kwargs = {}
@@ -73,11 +75,13 @@ def init_multihost(coordinator_address: str = None, num_processes: int = None,
     jax.distributed.initialize(**kwargs)
 
 
-def host_local_batch_to_global(mesh: Mesh, batch):
+def host_local_batch_to_global(mesh: Mesh, batch, sharding=None):
     """Assemble a global batch from per-host local shards (multi-host data
     loading: each host reads only its slice of the batch). On a single
-    process this is equivalent to shard_batch_pytree."""
-    sharding = batch_sharding(mesh)
+    process this is equivalent to shard_batch_pytree. ``sharding`` overrides
+    the default batch sharding (e.g. P(None, 'data') for scan-unrolled
+    batch groups)."""
+    sharding = sharding or batch_sharding(mesh)
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
         batch)

@@ -72,13 +72,29 @@ class Trainer:
         if self.cfg_text is None:
             self.cfg_text = resolve_model_cfg(self.config)
         from pqdet_tpu.parallel.mesh import fit_mesh_to_batch
-        n_dev = fit_mesh_to_batch(self.config.train.batch_size,
-                                  self.config.system.data_devices)
-        self.mesh = make_mesh(n_dev)
+        # multi-host: caller ran parallel.mesh.init_multihost first, so
+        # jax.devices() spans the whole slice; the mesh is GLOBAL, each host
+        # loads its slice of every batch (TrainData host args below) and
+        # train_epoch assembles global arrays from the local shards
+        self._n_proc = jax.process_count()
+        self._is_main = jax.process_index() == 0
+        if self._n_proc > 1:
+            n_global = len(jax.devices())
+            if self.config.train.batch_size % n_global:
+                raise ValueError(
+                    f'multi-host run: train.batch_size='
+                    f'{self.config.train.batch_size} must be divisible by '
+                    f'the {n_global} global devices')
+            self.mesh = make_mesh(0)
+        else:
+            n_dev = fit_mesh_to_batch(self.config.train.batch_size,
+                                      self.config.system.data_devices)
+            self.mesh = make_mesh(n_dev)
         self._repl = replicated(self.mesh)
         self._data_sh = batch_sharding(self.mesh)
 
-        self.train_data = TrainData(self.config)
+        self.train_data = TrainData(self.config, num_hosts=self._n_proc,
+                                    host_id=jax.process_index())
         self.eval_data = EvalData(self.config)
         self.steps_per_epoch = self.train_data.batches_per_epoch
         self._print_interval = max(self.steps_per_epoch // 5, 1)
@@ -192,7 +208,13 @@ class Trainer:
         if self._eval_run is None:
             self._eval_run = build_predict_pipeline(
                 self.network, self.config, compute_dtype=self._compute_dtype)
-        fused = inference_params(self.network, self.params, self.state)
+        params, state = self.params, self.state
+        if getattr(self, '_n_proc', 1) > 1:
+            # eval runs host-local on the main process: pull the (fully
+            # replicated, hence addressable) global params to host so the
+            # local jit re-stages them on this host's devices
+            params, state = jax.device_get((params, state))
+        fused = inference_params(self.network, params, state)
         return make_batch_predict(self._eval_run, fused)
 
     def evaluate(self):
@@ -285,6 +307,16 @@ class Trainer:
     def _stack_group(group):
         return jax.tree.map(lambda *xs: np.stack(xs), *group)
 
+    def _put_batch(self, batch):
+        """Host batch -> device arrays with the data sharding. Multi-host:
+        this host's local slice becomes its shards of the GLOBAL batch
+        (each host loaded rows [h*B/H, (h+1)*B/H) of the shared epoch plan)."""
+        if self._n_proc > 1:
+            from pqdet_tpu.parallel.mesh import host_local_batch_to_global
+            return host_local_batch_to_global(self.mesh, batch, self._data_sh)
+        return jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), self._data_sh), batch)
+
     # dispatches kept in flight before fencing: preserves host/device
     # overlap while bounding queued input batches in HBM (an unbounded
     # queue OOMs mid-epoch when the data pipeline outruns the device)
@@ -296,8 +328,7 @@ class Trainer:
         self.dataload_tt.tic()
         for batch, steps in self._grouped_batches():
             self.global_step += steps
-            batch = jax.tree.map(
-                lambda x: jax.device_put(jnp.asarray(x), self._data_sh), batch)
+            batch = self._put_batch(batch)
             self.dataload_tt.toc()
 
             self.model_tt.tic()
@@ -347,9 +378,13 @@ class Trainer:
             self.epoch_tt.toc()
             print('{:.3f}s per epoch'.format(self.epoch_tt.sum_reset() / 1e9))
 
-            if epoch >= self._eval_after:
-                self.evaluate()
-            self.save(epoch)
+            # multi-host: eval + checkpointing happen on the main process
+            # only (params are replicated; other hosts proceed and block at
+            # the next epoch's first global dispatch)
+            if getattr(self, '_is_main', True):
+                if epoch >= self._eval_after:
+                    self.evaluate()
+                self.save(epoch)
 
     def run(self):
         os.makedirs(self._weights_dir, exist_ok=True)
