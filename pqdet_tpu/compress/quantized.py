@@ -101,6 +101,20 @@ def _dequant(q, scale_zp):
     return (q.astype(jnp.float32) - zp) * scale
 
 
+def _quant_s8(x, scale_zp):
+    """Affine-quantise to the RECENTRED signed representation s = q_u8 - 128
+    (exact; two's complement). The Pallas qconv kernel consumes/produces
+    this format so no per-layer recentre op exists anywhere."""
+    scale, zp = scale_zp
+    return jnp.clip(jnp.round(x / scale + (zp - 128.0)),
+                    -128, 127).astype(jnp.int8)
+
+
+def _dequant_s8(s, scale_zp):
+    scale, zp = scale_zp
+    return (s.astype(jnp.float32) - (zp - 128.0)) * scale
+
+
 def _fake_quant_edge(x, scale_zp):
     """Quantise-dequantise in fp without materialising uint8: fuses into
     neighbouring elementwise ops instead of forcing an extra HBM pass."""
@@ -144,20 +158,26 @@ class Int8Inference:
     """Quantized graph executor (inference only, NHWC int8 tensors).
 
     ``mode``:
-    - 'int': integer accumulation (s32) — exact quantized semantics
-      (measured ~25 ms/forward for mobilenetv2-fpn bs=1 on v5e)
-    - 'dequant' (default): int8 weight STORAGE dequantised at use (fuses
-      into the conv), activations fake-quantised per edge in fp with the
-      calibrated qparams (no uint8 materialisation) — the same
-      quantisation error model at near-bf16 speed. This is the TPU-native
-      way to serve a quantized checkpoint.
+    - 'pallas' (default): exact integer semantics through the fused Pallas
+      s8 x s8 -> s32 MXU kernel for every 1x1 conv (requant + activation in
+      the epilogue, recentred-s8 activations, ops/pallas_qconv.py);
+      depthwise/stem convs run bf16 between s8 edges. One op per quantized
+      layer — the fast serving path.
+    - 'int': integer accumulation (s32) via XLA convs — exact quantized
+      semantics, reference implementation (2x slower: per-layer
+      recentre/pad/requant fusions + layout copies dominate)
+    - 'dequant': int8 weight STORAGE dequantised at use (fuses into the
+      conv), activations fake-quantised per edge in fp with the calibrated
+      qparams (no uint8 materialisation) — same quantisation error model,
+      useful as an XLA-only fallback.
 
     Always run through ``Int8Inference.prepare`` first — host-resident
-    qparams cost ~70 ms/call of DevicePut otherwise.
+    qparams cost ~70 ms/call of DevicePut otherwise (and 'pallas' needs its
+    derived tensors).
     """
 
-    def __init__(self, network: DetectionNetwork, mode: str = 'dequant'):
-        assert mode in ('int', 'dequant')
+    def __init__(self, network: DetectionNetwork, mode: str = 'pallas'):
+        assert mode in ('int', 'dequant', 'pallas')
         self.network = network
         self.graph = network.graph
         self.mode = mode
@@ -167,8 +187,22 @@ class Int8Inference:
         """Stage qparams on device once. convert_to_int8/load_quantized
         return host numpy arrays (for serialisation); passing those to a
         jitted apply re-uploads them EVERY call (measured ~70 ms/call of
-        DevicePut on the tunnel vs ~1 ms of actual compute)."""
-        return {'layers': jax.tree.map(jnp.asarray, qparams['layers']),
+        DevicePut on the tunnel vs ~1 ms of actual compute). Also derives
+        the Pallas-kernel views of every 1x1 conv: (Cin, Cout) weights and
+        per-channel column sums."""
+        layers = {}
+        for key, p in qparams['layers'].items():
+            p = dict(p)
+            wq = p.get('wq')
+            if wq is not None and wq.shape[0] == 1 and wq.shape[1] == 1:
+                w2d = np.asarray(wq).reshape(wq.shape[2], wq.shape[3])
+                p['w2d'] = w2d
+                p['colsum'] = w2d.astype(np.int32).sum(0)
+            elif wq is not None and wq.shape[:3] == (3, 3, 1):
+                # depthwise 3x3 (HWIO with in/groups == 1) -> (3, 3, C)
+                p['wdw'] = np.asarray(wq).reshape(3, 3, wq.shape[3])
+            layers[key] = p
+        return {'layers': jax.tree.map(jnp.asarray, layers),
                 'act': qparams['act']}
 
     def apply(self, qparams: Dict, x: jnp.ndarray):
@@ -177,14 +211,26 @@ class Int8Inference:
         last_use = self.graph.last_use
         cache: Dict[int, jnp.ndarray] = {}
         outputs = []
+        pallas = self.mode == 'pallas'
+        # CPU tests run the kernel in interpreter mode
+        interpret = pallas and jax.default_backend() != 'tpu'
 
         if self.mode == 'dequant':
             xq, cur_sz = _fake_quant_edge(x, act['input']), None
+        elif pallas:
+            xq, cur_sz = _quant_s8(x, act['input']), act['input']
         else:
             xq, cur_sz = _quant(x, act['input']), act['input']
 
         def as_fp(val, sz):
-            return _dequant(val, sz) if sz is not None else val
+            if sz is None:
+                return val
+            return _dequant_s8(val, sz) if pallas else _dequant(val, sz)
+
+        def requant(y, sz):
+            if self.mode == 'dequant':
+                return _fake_quant_edge(y, sz), None
+            return (_quant_s8(y, sz), sz) if pallas else (_quant(y, sz), sz)
 
         for node in self.graph.nodes:
             i, kind = node.index, node.kind
@@ -193,6 +239,32 @@ class Int8Inference:
             if kind == 'convolutional':
                 p = layers[key]
                 padding = solve_padding(a['size'], a['padding'], a['pad'])
+                dw_ok = ('wdw' in p and a['size'] == 3 and padding == 1
+                         and a['groups'] == xq.shape[-1]
+                         and a['groups'] == a['filters']
+                         and xq.shape[1] % a['stride'] == 0
+                         and xq.shape[2] % a['stride'] == 0)
+                pw_ok = 'w2d' in p and a['groups'] == 1 and a['stride'] == 1
+                if pallas and cur_sz is not None and (pw_ok or dw_ok):
+                    from pqdet_tpu.ops.pallas_qconv import (qconv1x1_s8,
+                                                            qdwconv3x3_s8)
+                    out_edge = act.get(key)
+                    common = dict(
+                        act=a['activation'],
+                        x_scale=cur_sz[0], x_zp=cur_sz[1],
+                        out_scale=None if out_edge is None else out_edge[0],
+                        out_zp=None if out_edge is None else out_edge[1],
+                        interpret=interpret)
+                    if pw_ok:
+                        y = qconv1x1_s8(xq, p['w2d'], p['w_scale'], p['b'],
+                                        p['colsum'], **common)
+                    else:
+                        y = qdwconv3x3_s8(xq, p['wdw'], p['w_scale'], p['b'],
+                                          stride=a['stride'], **common)
+                    xq, cur_sz = y, out_edge
+                    if i in last_use:
+                        cache[i] = (xq, cur_sz)
+                    continue
                 if self.mode == 'int':
                     y = int8_conv(xq, cur_sz, jnp.asarray(p['wq']),
                                   jnp.asarray(p['w_scale']), jnp.asarray(p['b']),
@@ -248,10 +320,7 @@ class Int8Inference:
                 raise ValueError(kind)
 
             if key in act:  # requantise this edge
-                if self.mode == 'dequant':
-                    xq, cur_sz = _fake_quant_edge(y, act[key]), None
-                else:
-                    xq, cur_sz = _quant(y, act[key]), act[key]
+                xq, cur_sz = requant(y, act[key])
             else:           # fp32 edge (feeds a yolo head)
                 xq, cur_sz = y, None
             if i in last_use:

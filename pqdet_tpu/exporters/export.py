@@ -5,8 +5,10 @@ The reference exports ONNX — a hand-built quantized graph plus
 torch.onnx for fp models (convert.py, export/onnx_exporter.py). On TPU the
 deployable artifact is StableHLO/jax.export: the full jitted inference
 function (forward [+ decode [+ NMS]]) serialises to a portable bytecode
-any XLA runtime can load. ONNX export is gated behind the optional onnx
-package (not installed here).
+any XLA runtime can load; ``export_stablehlo_quant`` serialises the int8
+executor so 'quant' checkpoints have a deployable artifact too. Literal
+ONNX files come from exporters/onnx_export.py (self-contained writer, no
+onnx package needed).
 """
 
 from __future__ import annotations
@@ -45,6 +47,33 @@ def export_stablehlo(network: DetectionNetwork, fused_params: Dict,
         def fn(images):
             preds, _ = network.apply(fused_params, {}, images)
             return preds
+
+    spec = jax.ShapeDtypeStruct((batch_size, *input_size, 3), jnp.float32)
+    exported = jax_export.export(jax.jit(fn))(spec)
+    return exported.serialize()
+
+
+def export_stablehlo_quant(network: DetectionNetwork, qparams: Dict,
+                           input_size: Tuple[int, int] = (512, 512),
+                           batch_size: int = 1, mode: str = 'int'):
+    """Serialise the int8 executor (compress.quantized.Int8Inference) so a
+    'quant' checkpoint has a deployable serving artifact: images (B,H,W,3)
+    f32 -> (B, sum HWA, 5+C) decoded predictions, int8 weights baked in.
+
+    Default mode 'int' keeps the artifact pure StableHLO (portable to any
+    XLA runtime); 'pallas' embeds the fused TPU kernels as custom calls
+    (fastest, TPU-only — export on a TPU host).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+    from pqdet_tpu.compress.quantized import Int8Inference
+
+    exe = Int8Inference(network, mode=mode)
+    staged = Int8Inference.prepare(qparams)
+
+    def fn(images):
+        return exe.apply(staged, images)
 
     spec = jax.ShapeDtypeStruct((batch_size, *input_size, 3), jnp.float32)
     exported = jax_export.export(jax.jit(fn))(spec)

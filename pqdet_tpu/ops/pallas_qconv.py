@@ -1,0 +1,270 @@
+"""Pallas TPU kernels: fused int8 convolutions (quantized serving path).
+
+The reference serves quantized models through fbgemm/qnnpack int8 GEMMs
+(tools.py:291-304). The XLA translation of that graph drowns in small ops —
+per-conv recentre/pad/requant fusions and layout copies were 60%+ of device
+time and doubled dispatch cost (see STATUS.md round-2 notes). These kernels
+collapse one quantized conv layer into a single op each:
+
+- ``qconv1x1_s8``: pointwise conv on the MXU, s8 x s8 -> s32, with the
+  dequant affine, bias, activation and output requantisation fused in the
+  epilogue (57 of 84 convs in mobilenetv2-fpn, most of the MACs).
+- ``qdwconv3x3_s8``: depthwise 3x3 (stride 1/2) on the VPU in f32 (exact for
+  s8 operands), same fused epilogue (26 of 84 convs).
+
+Activations use a RECENTRED signed-int8 representation (s = q_u8 - 128,
+exact two's complement), so no per-layer recentre op exists anywhere; the
+affine correction folds into the per-channel bias:
+
+    y_c = alpha_c * dot(x_s8, w)_c + (alpha_c * (128 - x_zp) * colsum_c + b_c)
+    alpha_c = x_scale * w_scale_c,  colsum_c = sum_i w_ic
+
+Both kernels work on NHWC 4-D blocks directly (no reshape at the XLA level —
+2-D views forced a physical retile per layer). Quantisation scales ride in
+SMEM as runtime scalars: one compiled kernel per shape/activation, reused
+across layers and checkpoints.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _apply_act(act: str, y):
+    if act == 'leaky':
+        return jnp.where(y > 0, y, 0.1 * y)
+    if act == 'relu':
+        return jnp.maximum(y, 0.0)
+    if act == 'relu6':
+        return jnp.clip(y, 0.0, 6.0)
+    if act in ('linear', 'none'):
+        return y
+    if act == 'logistic':
+        return jax.nn.sigmoid(y)
+    raise ValueError(f'unsupported activation for qconv kernel: {act}')
+
+
+def _epilogue(acc_f32, s_ref, ws, b, cs, act: str, requant: bool, out_ref):
+    """Shared affine + activation + (re)quantisation epilogue.
+
+    acc_f32: integer accumulator as f32; ws/b/cs broadcastable per-channel
+    weight scale, bias, column sum. s_ref: SMEM scalars (see kernels).
+    """
+    alpha = s_ref[0, 0] * ws
+    beta = alpha * ((128.0 - s_ref[0, 1]) * cs) + b
+    y = _apply_act(act, acc_f32 * alpha + beta)
+    if requant:
+        out_ref[:] = jnp.clip(jnp.round(y * s_ref[0, 2] + s_ref[0, 3]),
+                              -128, 127).astype(jnp.int8)
+    else:
+        out_ref[:] = y
+
+
+# ------------------------------------------------------------- 1x1 (MXU)
+
+def _qconv1x1_kernel(s_ref, x_ref, w_ref, ws_ref, b_ref, cs_ref, o_ref, *,
+                     act: str, requant: bool):
+    """Blocks: x (1, TH, W, Cin) s8; w (Cin, TN) s8; per-channel (1, TN)."""
+    _, th, wdim, cin = x_ref.shape
+    x = x_ref[:].reshape(th * wdim, cin)
+    acc = jnp.dot(x, w_ref[:], preferred_element_type=jnp.int32)
+    _epilogue(acc.astype(jnp.float32), s_ref, ws_ref[:], b_ref[:],
+              cs_ref[:].astype(jnp.float32), act, requant,
+              _ReshapedRef(o_ref))
+
+
+class _ReshapedRef:
+    """Write-only view: assignments land in the ref reshaped back to 4-D."""
+
+    def __init__(self, ref):
+        self.ref = ref
+
+    def __setitem__(self, idx, value):
+        assert idx == slice(None)
+        self.ref[:] = value.reshape(self.ref.shape)
+
+
+def _scalars(x_scale, x_zp, out_scale, out_zp, requant):
+    return jnp.stack([
+        jnp.float32(x_scale), jnp.float32(x_zp),
+        1.0 / jnp.float32(out_scale if requant else 1.0),
+        jnp.float32(out_zp if requant else 0.0) - 128.0,
+    ]).reshape(1, 4)
+
+
+@functools.partial(jax.jit, static_argnames=('act', 'interpret'))
+def qconv1x1_s8(x_s8: jnp.ndarray, w_s8: jnp.ndarray, w_scale: jnp.ndarray,
+                b: jnp.ndarray, colsum: jnp.ndarray, *, act: str,
+                x_scale, x_zp, out_scale=None, out_zp=None,
+                interpret: bool = False) -> jnp.ndarray:
+    """Fused quantized 1x1 conv (stride 1, groups 1), NHWC in / NHWC out.
+
+    x_s8: (N, H, W, Cin) int8 recentred; w_s8: (Cin, Cout) int8; w_scale/b:
+    (Cout,) f32; colsum: (Cout,) int32 per-channel sum of w. With
+    out_scale/out_zp the output is requantised to recentred s8; otherwise
+    fp32 (edges feeding yolo heads). Scales may be floats or traced scalars.
+    """
+    n, h, w, cin = x_s8.shape
+    cout = w_s8.shape[1]
+    th = max(1, min(h, 512 // w if w <= 512 else 1))
+    while h % th:
+        th -= 1
+    tn = min(128, cout)
+    requant = out_scale is not None
+    out_dtype = jnp.int8 if requant else jnp.float32
+
+    kern = functools.partial(_qconv1x1_kernel, act=act, requant=requant)
+    grid = (n, h // th, pl.cdiv(cout, tn))
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda ni, i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, th, w, cin), lambda ni, i, j: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, tn), lambda ni, i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda ni, i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda ni, i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda ni, i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, tn),
+                               lambda ni, i, j: (ni, i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cout), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * cin * cout,
+            bytes_accessed=n * h * w * (cin + cout) + cin * cout,
+            transcendentals=0),
+        interpret=interpret,
+    )(_scalars(x_scale, x_zp, out_scale, out_zp, requant),
+      x_s8, w_s8, w_scale.reshape(1, -1).astype(jnp.float32),
+      b.reshape(1, -1).astype(jnp.float32),
+      colsum.reshape(1, -1).astype(jnp.int32))
+
+
+# -------------------------------------------------------- depthwise (VPU)
+
+def _qdw_kernel(s_ref, x0_ref, x1_ref, x2_ref, w_ref, ws_ref, b_ref,
+                o_ref, *, act: str, requant: bool, stride: int, th: int,
+                h: int):
+    """Depthwise 3x3. Inputs: three consecutive input H-blocks of TB=stride*th
+    rows each (clamped at the edges), stacked window = rows
+    [(i-1)*TB, (i+2)*TB) for interior programs; per-channel tensors (1, C);
+    w (9, C) f32. f32 VPU math is exact for s8 operands."""
+    i = pl.program_id(1)
+    tb = stride * th
+    c = x1_ref.shape[-1]
+
+    # (3*TB, W, C) f32 window; mask rows outside the real image to the pad
+    # value (recentred zero point = real 0)
+    win = jnp.concatenate([x0_ref[0], x1_ref[0], x2_ref[0]], axis=0)
+    win = win.astype(jnp.float32)
+    pad = s_ref[0, 1] - 128.0  # x_zp - 128
+    row0 = (i - 1) * tb  # global row of window row 0 for interior programs
+    # at i == 0 the first block is clamped to block 0 -> its rows are NOT
+    # rows [-TB, 0); at the last i the third block duplicates; both cases
+    # only matter for the single halo row each side, fixed by masking
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (3 * tb, 1, 1), 0) + row0
+    # rows the window CLAIMS to hold vs rows it actually holds: clamped
+    # blocks repeat real rows, so claimed-global-index masking with the pad
+    # value is exactly right at the image borders (claimed row -1 / row h)
+    win = jnp.where((gidx >= 0) & (gidx < h), win, pad)
+
+    # pad W by 1 each side with the real-zero pad value
+    win = jnp.concatenate([
+        jnp.full((3 * tb, 1, c), pad, jnp.float32), win,
+        jnp.full((3 * tb, 1, c), pad, jnp.float32)], axis=1)
+
+    # output rows r in [0, th): input rows tb + stride*r - 1 + kh. Mosaic
+    # rejects strided vector slices, so stride-2 subsampling is expressed as
+    # a contiguous slice + reshape-split + static index instead.
+    x_off = s_ref[0, 1] - 128.0
+    wo = o_ref.shape[2]
+    acc = jnp.zeros((th, wo, c), jnp.float32)
+    for kh in range(3):
+        start = tb - 1 + kh
+        if stride == 1:
+            rows = jax.lax.slice_in_dim(win, start, start + th, axis=0)
+        else:
+            rows = jax.lax.slice_in_dim(win, start, start + 2 * th, axis=0)
+            rows = rows.reshape(th, 2, rows.shape[1], c)[:, 0]
+        for kw in range(3):
+            if stride == 1:
+                cols = jax.lax.slice_in_dim(rows, kw, kw + wo, axis=1)
+            else:
+                cols = jax.lax.slice_in_dim(rows, kw, kw + 2 * wo, axis=1)
+                cols = cols.reshape(th, wo, 2, c)[:, :, 0]
+            acc = acc + w_ref[3 * kh + kw, :] * (cols - x_off)
+    # acc already has the (x - zp) offset folded -> colsum term must be zero
+    _epilogue(acc[None], s_ref, ws_ref[:], b_ref[:],
+              jnp.zeros((), jnp.float32), act, requant, o_ref)
+
+
+@functools.partial(jax.jit, static_argnames=('act', 'stride', 'interpret'))
+def qdwconv3x3_s8(x_s8: jnp.ndarray, w_s8: jnp.ndarray, w_scale: jnp.ndarray,
+                  b: jnp.ndarray, *, act: str, stride: int,
+                  x_scale, x_zp, out_scale=None, out_zp=None,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Fused quantized depthwise 3x3 conv (padding 1), NHWC s8 -> NHWC s8/f32.
+
+    x_s8: (N, H, W, C) int8 recentred; w_s8: (3, 3, C) int8 (HWC depthwise);
+    w_scale/b: (C,) f32. Output spatial dims: ceil(H/stride) x ceil(W/stride)
+    for stride 2 (matches SAME-style darknet stride-2 3x3), H x W for 1.
+    """
+    n, h, w, c = x_s8.shape
+    ho, wo = (h + stride - 1) // stride, (w + stride - 1) // stride
+    th = max(1, min(ho, 1024 // w if w <= 1024 else 1))
+    while ho % th:
+        th -= 1
+    requant = out_scale is not None
+    out_dtype = jnp.int8 if requant else jnp.float32
+    tb = stride * th
+    nbh = h // tb  # number of input H-blocks (h == stride * ho; ho % th == 0)
+
+    kern = functools.partial(_qdw_kernel, act=act, requant=requant,
+                             stride=stride, th=th, h=h)
+
+    def blk(off):
+        def index_map(ni, i):
+            return (ni, jnp.clip(i + off, 0, nbh - 1), 0, 0)
+        return pl.BlockSpec((1, tb, w, c), index_map,
+                            memory_space=pltpu.VMEM)
+
+    wf = w_s8.reshape(9, c).astype(jnp.float32)
+    grid = (n, ho // th)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda ni, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            blk(-1), blk(0), blk(1),
+            pl.BlockSpec((9, c), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, wo, c), lambda ni, i: (ni, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, ho, wo, c), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * n * ho * wo * c,
+            bytes_accessed=n * h * w * c + n * ho * wo * c,
+            transcendentals=0),
+        interpret=interpret,
+    )(_scalars(x_scale, x_zp, out_scale, out_zp, requant),
+      x_s8, x_s8, x_s8, wf,
+      w_scale.reshape(1, -1).astype(jnp.float32),
+      b.reshape(1, -1).astype(jnp.float32))

@@ -101,6 +101,32 @@ def test_stablehlo_export_roundtrip():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_stablehlo_quant_export_roundtrip():
+    """'quant' checkpoints get a deployable StableHLO artifact whose outputs
+    match the int8 executor (reference purpose: the quantized ONNX export,
+    export/onnx_exporter.py:33-398)."""
+    from pqdet_tpu.compress.qat import QuantCtx, prepare_qat_state
+    from pqdet_tpu.compress.quantized import Int8Inference, convert_to_int8
+    from pqdet_tpu.exporters.export import export_stablehlo_quant
+
+    net = DetectionNetwork.from_cfg(_mobile_style_cfg(), quant=True)
+    params, state = net.init(jax.random.PRNGKey(0))
+    params, state = prepare_qat_state(net, params, state)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3), jnp.float32)
+    ctx = QuantCtx(state['quant'], observing=True)
+    net.apply(params, state, x, quant_ctx=ctx)
+    state = {**state, 'quant': ctx.new_obs}
+    qparams = convert_to_int8(net, params, state)
+
+    blob = export_stablehlo_quant(net, qparams, input_size=(32, 32),
+                                  batch_size=1)
+    fn = load_stablehlo(bytes(blob))
+    out = fn(x)
+    ref = Int8Inference(net, mode='int').apply(qparams, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_torch_checkpoint_conversion():
     """OIHW torch state_dict -> pytree with numerically identical forward."""
     import torch

@@ -20,6 +20,83 @@ def test_pallas_decode_matches_reference():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_pallas_qconv_exact_vs_int8_conv():
+    """Fused Pallas 1x1 quantized conv == the XLA int8_conv oracle: fp32
+    output to float error, requantised output code-for-code."""
+    from pqdet_tpu.compress.quantized import int8_conv
+    from pqdet_tpu.ops.pallas_qconv import qconv1x1_s8
+
+    rng = np.random.RandomState(0)
+    m, cin, cout = 640, 96, 160
+    xq = rng.randint(0, 256, (1, 8, m // 8, cin)).astype(np.uint8)
+    w = rng.randint(-127, 128, (1, 1, cin, cout)).astype(np.int8)
+    w_scale = (rng.rand(cout) * 0.01 + 0.001).astype(np.float32)
+    b = (rng.randn(cout) * 0.1).astype(np.float32)
+    xs, xzp = 0.02, 7.0
+
+    y_ref = int8_conv(jnp.asarray(xq), (xs, xzp), jnp.asarray(w),
+                      jnp.asarray(w_scale), jnp.asarray(b), 1, 0, 1)
+    y_ref = np.asarray(jnp.clip(y_ref, 0, 6))
+
+    x_s8 = (xq.astype(np.int16) - 128).astype(np.int8)  # NHWC
+    w2 = w.reshape(cin, cout)
+    colsum = w2.astype(np.int32).sum(0)
+    y = qconv1x1_s8(jnp.asarray(x_s8), jnp.asarray(w2), jnp.asarray(w_scale),
+                    jnp.asarray(b), jnp.asarray(colsum), act='relu6',
+                    x_scale=xs, x_zp=xzp, interpret=True)
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-5)
+
+    os_, ozp = 6.0 / 255, 3.0
+    q_ref = np.clip(np.round(y_ref / os_ + ozp), 0, 255) - 128
+    q = qconv1x1_s8(jnp.asarray(x_s8), jnp.asarray(w2), jnp.asarray(w_scale),
+                    jnp.asarray(b), jnp.asarray(colsum), act='relu6',
+                    x_scale=xs, x_zp=xzp, out_scale=os_, out_zp=ozp,
+                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(q).astype(np.int32), q_ref)
+
+
+def test_pallas_qdwconv_exact_vs_int8_conv():
+    """Fused Pallas depthwise 3x3 == the XLA int8_conv oracle (stride 1 and
+    2, including the zero-point border padding and edge-row masking)."""
+    from pqdet_tpu.compress.quantized import int8_conv
+    from pqdet_tpu.ops.pallas_qconv import qdwconv3x3_s8
+
+    rng = np.random.RandomState(2)
+    for stride, h, w, c in [(1, 16, 24, 32), (2, 16, 24, 32), (1, 8, 8, 8)]:
+        xq = rng.randint(0, 256, (2, h, w, c)).astype(np.uint8)
+        wq = rng.randint(-127, 128, (3, 3, 1, c)).astype(np.int8)
+        w_scale = (rng.rand(c) * 0.01 + 0.001).astype(np.float32)
+        b = (rng.randn(c) * 0.1).astype(np.float32)
+        xs, xzp = 0.03, 11.0
+
+        y_ref = int8_conv(jnp.asarray(xq), (xs, xzp), jnp.asarray(wq),
+                          jnp.asarray(w_scale), jnp.asarray(b),
+                          stride, 1, c)
+        y_ref = np.asarray(jnp.maximum(y_ref, 0))
+
+        x_s8 = jnp.asarray((xq.astype(np.int16) - 128).astype(np.int8))
+        y = qdwconv3x3_s8(x_s8, jnp.asarray(wq.reshape(3, 3, c)),
+                          jnp.asarray(w_scale), jnp.asarray(b),
+                          act='relu', stride=stride, x_scale=xs, x_zp=xzp,
+                          interpret=True)
+        assert y.shape == y_ref.shape, (y.shape, y_ref.shape)
+        np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-4,
+                                   err_msg=f'stride={stride}')
+
+        os_, ozp = float(y_ref.max()) / 255, 2.0
+        q_ref = np.clip(np.round(y_ref / os_ + ozp), 0, 255) - 128
+        q = qdwconv3x3_s8(x_s8, jnp.asarray(wq.reshape(3, 3, c)),
+                          jnp.asarray(w_scale), jnp.asarray(b),
+                          act='relu', stride=stride, x_scale=xs, x_zp=xzp,
+                          out_scale=os_, out_zp=ozp, interpret=True)
+        # y * (1/os) in f32 vs y / os in f64 can flip round-to-even ties by
+        # one code on a handful of elements; that is inherent to requant
+        diff = np.abs(np.asarray(q).astype(np.int32) - q_ref)
+        assert diff.max() <= 1 and (diff > 0).mean() < 1e-3, \
+            f'stride={stride}: {int((diff > 0).sum())} mismatches'
+
+
 def test_pallas_decode_odd_height_falls_back():
     rng = np.random.RandomState(1)
     raw = jnp.asarray(rng.randn(1, 7, 8, 27).astype(np.float32))

@@ -85,7 +85,17 @@ def test_qat_forward_and_convert_close_to_fp():
 
     qparams = convert_to_int8(net, params, state)
     int8_net = Int8Inference(net)
-    out_int8 = jax.jit(int8_net.apply)(qparams, x)
+    qp = Int8Inference.prepare(qparams)
+    out_int8 = jax.jit(int8_net.apply)(qp, x)
+
+    # the default 'pallas' executor matches the XLA 'int' executor: both run
+    # exact s32 integer semantics on 1x1 convs (dw convs differ by bf16
+    # rounding only)
+    out_int = jax.jit(Int8Inference(net, mode='int').apply)(qparams, x)
+    np.testing.assert_allclose(np.asarray(out_int8[..., 4:]),
+                               np.asarray(out_int[..., 4:]), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out_int8[..., :4]),
+                               np.asarray(out_int[..., :4]), atol=0.5)
 
     assert out_int8.shape == out_fp.shape
     # boxes are in pixel units (x up to ~32); scores in [0,1]
