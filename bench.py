@@ -12,24 +12,34 @@ is then honest device time.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
-BASELINE_MS = 11.5  # reference README.md:105, mobilenetv2-fpn bs=1 forward
+# reference README.md:105-108 bs=1 forward ms on a GTX 1080 Ti
+BASELINES_MS = {
+    'mobilenetv2-fpn': 11.5,
+    'regnetx-600m-fpn': 15.9,
+    'regnetx-600m-pan': 14.4,
+    'regnety-400m-fpn': 22.9,
+}
+BASELINE_MS = BASELINES_MS['mobilenetv2-fpn']
 CHAIN = 8           # forwards chained per measured call
 
 
-def bench_forward(batch_size: int = 1, reps: int = 8):
+def bench_forward(model: str = 'mobilenetv2-fpn', batch_size: int = 1,
+                  reps: int = 8):
     import jax
     import jax.numpy as jnp
-    from pqdet_tpu.model.network import DetectionNetwork, fuse_params
+    from pqdet_tpu.model.network import (DetectionNetwork,
+                                         densify_grouped_convs, fuse_params)
     from pqdet_tpu.zoo import get_cfg
 
-    net = DetectionNetwork.from_cfg(get_cfg('mobilenetv2-fpn'))
+    net = DetectionNetwork.from_cfg(get_cfg(model))
     params, state = net.init(jax.random.PRNGKey(0))
-    fused = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
-                         fuse_params(net, params, state))
+    fused = densify_grouped_convs(net, fuse_params(net, params, state))
+    fused = jax.tree.map(lambda x: x.astype(jnp.bfloat16), fused)
 
     @jax.jit
     def chain(p, x):
@@ -57,12 +67,13 @@ def bench_forward(batch_size: int = 1, reps: int = 8):
 
 
 def main():
-    ms = bench_forward(batch_size=1)
+    model = sys.argv[1] if len(sys.argv) > 1 else 'mobilenetv2-fpn'
+    ms = bench_forward(model, batch_size=1)
     print(json.dumps({
-        'metric': 'mobilenetv2_fpn_forward_ms_bs1_512',
+        'metric': f'{model.replace("-", "_")}_forward_ms_bs1_512',
         'value': round(ms, 3),
         'unit': 'ms',
-        'vs_baseline': round(BASELINE_MS / ms, 3),
+        'vs_baseline': round(BASELINES_MS[model] / ms, 3),
     }))
 
 

@@ -118,12 +118,15 @@ def export_normal_to_onnx(network, fused_params: Dict, input_size,
         p = fused_params.get(str(i), {})
         if kind == 'convolutional':
             padding = solve_padding(a['size'], a['padding'], a['pad'])
-            wn = g.const(f'w{i}', _hwio_to_oihw(np.asarray(p['w'],
-                                                           np.float32)))
+            wf = np.asarray(p['w'], np.float32)
+            # derive group from the weight shape: densified grouped convs
+            # (network.densify_grouped_convs) carry full-Cin dense weights
+            group = node.in_channels // wf.shape[2]
+            wn = g.const(f'w{i}', _hwio_to_oihw(wf))
             bn = g.const(f'b{i}', np.asarray(
                 p.get('b', np.zeros(node.out_channels)), np.float32))
             y = g.add('Conv', [cur, wn, bn], f'conv{i}',
-                      strides=[a['stride']] * 2, group=a['groups'],
+                      strides=[a['stride']] * 2, group=group,
                       kernel_shape=[a['size']] * 2, pads=[padding] * 4)[0]
             y = _activation(g, a['activation'], y)
             n_, _, h_, w_ = cur_shape

@@ -45,6 +45,41 @@ def convert_torch_state_dict(state_dict: Dict, network) -> Tuple[Dict, Dict]:
     return params, state
 
 
+def convert_to_torch_state_dict(params: Dict, state: Dict, network) -> Dict:
+    """(params, state) -> reference torch state_dict (numpy values).
+
+    The inverse of convert_torch_state_dict: HWIO -> OIHW conv weights,
+    gamma/beta + running stats -> bn entries, fc transposed back. Used by
+    the differential evaluation harness (cli/diffeval.py) to run OUR
+    trained weights through the actual torch reference's eval pipeline.
+    Values are numpy; wrap with torch.from_numpy for load_state_dict.
+    """
+    flat: Dict[str, np.ndarray] = {}
+    for node in network.graph.nodes:
+        i = str(node.index)
+        base = f'module_list.{node.index}'
+        p = params.get(i)
+        if p is None:
+            continue
+        if node.kind == 'convolutional':
+            w = np.asarray(p['w'])                    # HWIO
+            flat[f'{base}.conv.weight'] = \
+                np.ascontiguousarray(w.transpose(3, 2, 0, 1))
+            if node.has_bn:
+                flat[f'{base}.bn.weight'] = np.asarray(p['bn']['gamma'])
+                flat[f'{base}.bn.bias'] = np.asarray(p['bn']['beta'])
+                flat[f'{base}.bn.running_mean'] = np.asarray(state[i]['mean'])
+                flat[f'{base}.bn.running_var'] = np.asarray(state[i]['var'])
+                flat[f'{base}.bn.num_batches_tracked'] = np.asarray(0)
+            else:
+                flat[f'{base}.conv.bias'] = np.asarray(p['b'])
+        elif node.kind == 'fc':
+            flat[f'{base}.fc.weight'] = \
+                np.ascontiguousarray(np.asarray(p['w']).T)
+            flat[f'{base}.fc.bias'] = np.asarray(p['b'])
+    return flat
+
+
 def convert_torch_checkpoint(torch_path: str, save_path: str):
     """Load a reference .pt checkpoint (requires torch) and save a
     pqdet_tpu checkpoint preserving step/AP/cfg-text."""

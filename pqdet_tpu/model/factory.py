@@ -70,13 +70,18 @@ def build_detector(cfg_text: Optional[str] = None,
 
 
 def inference_params(network: DetectionNetwork, params, state,
-                     dtype=None) -> Dict:
+                     dtype=None, densify_groups: bool = True) -> Dict:
     """BN-folded (and optionally downcast) params for the inference path,
     staged on device (checkpoint loads hand back host numpy arrays, which
-    a jitted forward would otherwise re-upload on every call)."""
+    a jitted forward would otherwise re-upload on every call). Grouped
+    convs are densified to block-diagonal MXU-friendly weights
+    (network.densify_grouped_convs) unless densify_groups=False."""
     import jax.numpy as jnp
+    from pqdet_tpu.model.network import densify_grouped_convs
     fused = fuse_params(network, jax.tree.map(jnp.asarray, params),
                         jax.tree.map(jnp.asarray, state))
+    if densify_groups:
+        fused = densify_grouped_convs(network, fused)
     if dtype is not None:
         fused = jax.tree.map(lambda x: x.astype(dtype), fused)
     return fused

@@ -92,6 +92,12 @@ def conv2d(x, w, b=None, stride: int = 1, padding: int = 0, groups: int = 1,
     onto the MXU directly (the reference leans on cuDNN for this,
     model/parser.py:393-401).
     """
+    if groups > 1 and w.shape[2] == x.shape[-1]:
+        # block-diagonal DENSE weights (network.densify_grouped_convs): run
+        # as one dense MXU conv. Grouped convs with small group widths
+        # leave the systolic array mostly idle; the dense FLOPs are free by
+        # comparison (regnety-400m grouped stack: ~13 GFLOP ~= 130us MXU)
+        groups = 1
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)

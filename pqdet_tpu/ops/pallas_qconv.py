@@ -223,7 +223,10 @@ def qdwconv3x3_s8(x_s8: jnp.ndarray, w_s8: jnp.ndarray, w_scale: jnp.ndarray,
     """
     n, h, w, c = x_s8.shape
     ho, wo = (h + stride - 1) // stride, (w + stride - 1) // stride
-    th = max(1, min(ho, 1024 // w if w <= 1024 else 1))
+    # larger row blocks amortise program launch + halo re-fetch; cap the
+    # f32 window (3*stride*th, w+2, c) to ~4 MB of VMEM
+    budget = 4 * 2 ** 20 // (4 * 3 * stride * (w + 2) * c)
+    th = max(1, min(ho, budget))
     while ho % th:
         th -= 1
     requant = out_scale is not None

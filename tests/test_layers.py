@@ -120,3 +120,36 @@ def test_activations_vs_torch():
     for name, ref in cases.items():
         out = L.apply_activation(name, jnp.array(x))
         np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_densify_grouped_convs_preserves_function():
+    """Block-diagonal dense expansion of grouped convs computes the exact
+    same function (regnety-style group widths), and conv2d auto-detects the
+    dense weight shape."""
+    import jax
+    from pqdet_tpu.model.network import DetectionNetwork, densify_grouped_convs, fuse_params
+    from pqdet_tpu.zoo.builder import CfgBuilder
+
+    nc = 3
+    b = CfgBuilder()
+    b.conv(16, size=3, stride=2, activation='relu')
+    b.conv(32, size=3, stride=2, groups=4, activation='relu')   # group width 8
+    b.conv(32, size=3, groups=32, activation='relu')            # depthwise (kept)
+    b.conv(48, size=3, groups=8, activation='relu')             # group width 4
+    b.conv(3 * (5 + nc), size=1, bn=False, activation='linear')
+    b.yolo(nc)
+    net = DetectionNetwork.from_cfg(b.text())
+    params, state = net.init(jax.random.PRNGKey(0))
+    fused = fuse_params(net, params, state)
+    dense = densify_grouped_convs(net, fused)
+
+    # depthwise stays grouped; grouped convs expand to full Cin
+    assert dense['2']['w'].shape == fused['2']['w'].shape   # dw untouched
+    assert dense['1']['w'].shape[2] == 16 and fused['1']['w'].shape[2] == 4
+    assert dense['3']['w'].shape[2] == 32 and fused['3']['w'].shape[2] != 32
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+    ref, _ = net.apply(fused, {}, x)
+    out, _ = net.apply(dense, {}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
