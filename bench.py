@@ -66,11 +66,69 @@ def bench_forward(model: str = 'mobilenetv2-fpn', batch_size: int = 1,
     return float(np.median(times)) / CHAIN
 
 
+def bench_quant(model: str = 'mobilenetv2-fpn', mode: str = 'pallas',
+                batch_size: int = 1, reps: int = 8):
+    """Quantized-serving latency (same chained-jit methodology).
+
+    Builds the net in quant mode, runs one observing forward to calibrate
+    the activation observers, converts to int8, and times
+    Int8Inference.apply in the requested mode ('pallas'/'int'/'dequant').
+    """
+    import jax
+    import jax.numpy as jnp
+    from pqdet_tpu.compress.qat import QuantCtx, prepare_qat_state
+    from pqdet_tpu.compress.quantized import Int8Inference, convert_to_int8
+    from pqdet_tpu.model.network import DetectionNetwork
+    from pqdet_tpu.zoo import get_cfg
+
+    net = DetectionNetwork.from_cfg(get_cfg(model), quant=True)
+    params, state = net.init(jax.random.PRNGKey(0))
+    params, state = prepare_qat_state(net, params, state)
+    rng = np.random.RandomState(0)
+    xc = jnp.asarray(rng.rand(batch_size, 512, 512, 3), jnp.float32)
+    @jax.jit
+    def observe_fwd(p, s, x):
+        ctx = QuantCtx(s['quant'], observing=True)
+        net.apply(p, s, x, quant_ctx=ctx)
+        return ctx.new_obs
+
+    state = {**state, 'quant': jax.device_get(observe_fwd(params, state, xc))}
+    state = jax.tree.map(np.asarray, state)
+    qparams = Int8Inference.prepare(convert_to_int8(net, params, state))
+    int8 = Int8Inference(net, mode=mode)
+
+    @jax.jit
+    def chain(p, x):
+        acc = jnp.float32(0)
+        for _ in range(CHAIN):
+            y = int8.apply(p, x)
+            s = y.astype(jnp.float32).sum() * 1e-20
+            acc = acc + s
+            x = x + s.astype(x.dtype)
+        return acc
+
+    x = jnp.asarray(rng.rand(batch_size, 512, 512, 3), jnp.float32)
+    float(chain(qparams, x))  # compile + warmup
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(chain(qparams, x))
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(times)) / CHAIN
+
+
 def main():
     model = sys.argv[1] if len(sys.argv) > 1 else 'mobilenetv2-fpn'
-    ms = bench_forward(model, batch_size=1)
+    variant = sys.argv[2] if len(sys.argv) > 2 else 'fp'
+    if variant.startswith('quant'):
+        mode = variant.split('-', 1)[1] if '-' in variant else 'pallas'
+        ms = bench_quant(model, mode=mode, batch_size=1)
+        metric = f'{model.replace("-", "_")}_int8_{mode}_forward_ms_bs1_512'
+    else:
+        ms = bench_forward(model, batch_size=1)
+        metric = f'{model.replace("-", "_")}_forward_ms_bs1_512'
     print(json.dumps({
-        'metric': f'{model.replace("-", "_")}_forward_ms_bs1_512',
+        'metric': metric,
         'value': round(ms, 3),
         'unit': 'ms',
         'vs_baseline': round(BASELINES_MS[model] / ms, 3),

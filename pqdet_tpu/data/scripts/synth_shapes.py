@@ -18,7 +18,10 @@ COLORS = [(40, 200, 240), (220, 80, 60), (90, 230, 90)]
 
 
 def generate(root: str, n: int = 300, size: int = 320, seed: int = 0,
-             holdout: float = 0.13):
+             holdout: float = 0.13, vary_aspect: bool = False):
+    """vary_aspect samples each image's W/H independently in
+    [0.6*size, 1.4*size] (VOC-like mixed aspect ratios) so eval letterbox
+    + recover affines are exercised nontrivially."""
     img_dir = os.path.join(root, 'JPEGImages')
     ann_dir = os.path.join(root, 'Annotations')
     os.makedirs(img_dir, exist_ok=True)
@@ -26,12 +29,18 @@ def generate(root: str, n: int = 300, size: int = 320, seed: int = 0,
     rng = np.random.RandomState(seed)
     paths = []
     for i in range(n):
-        img = rng.randint(20, 90, (size, size, 3), np.uint8)
+        if vary_aspect:
+            h = int(rng.randint(size * 6 // 10, size * 14 // 10))
+            w = int(rng.randint(size * 6 // 10, size * 14 // 10))
+        else:
+            h = w = size
+        img = rng.randint(20, 90, (h, w, 3), np.uint8)
         objs = []
         for _ in range(rng.randint(1, 4)):
             cls = rng.randint(len(CLASSES))
             s = rng.randint(size // 8, size * 2 // 7)
-            x1, y1 = rng.randint(0, size - s, 2)
+            x1 = rng.randint(0, w - s)
+            y1 = rng.randint(0, h - s)
             color = tuple(int(c + rng.randint(-25, 25)) for c in COLORS[cls])
             if cls == 0:
                 cv2.rectangle(img, (x1, y1), (x1 + s, y1 + s), color, -1)
@@ -65,8 +74,11 @@ def main():
     parser.add_argument('--n', type=int, default=300)
     parser.add_argument('--size', type=int, default=320)
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--holdout', type=float, default=0.13)
+    parser.add_argument('--vary-aspect', action='store_true')
     args = parser.parse_args()
-    paths = generate(args.root, args.n, args.size, args.seed)
+    paths = generate(args.root, args.n, args.size, args.seed, args.holdout,
+                     args.vary_aspect)
     print(f'{len(paths)} images under {args.root} (train.txt / test.txt)')
 
 

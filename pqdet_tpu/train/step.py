@@ -78,19 +78,30 @@ def resume_schedule_step(opt_state, step: int):
 def make_train_step(network: DetectionNetwork, optimizer,
                     sparse_ratio: float = 0.0,
                     sparse_ids: Optional[Set[str]] = None,
-                    compute_dtype=None):
+                    compute_dtype=None, remat: bool = False):
     """Build the pure (params, state, opt_state, batch, rng) -> ... step.
 
     batch: dict with 'image' (B,H,W,3) and 'targets' = 6-tuple of per-scale
     grid labels + padded raw boxes. jit it with shardings from
     parallel.mesh (batch sharded on DATA_AXIS, everything else replicated).
+
+    ``remat`` wraps the forward in jax.checkpoint: activations are
+    rematerialised during the backward pass instead of stored, trading
+    ~1/3 extra forward FLOPs for activation memory — lifts the max
+    single-chip batch/input size (train.remat in config).
     """
 
-    def loss_fn(params, state, batch, rng):
+    def fwd(params, state, image, targets, rng):
         losses, new_state = network.apply(
-            params, state, batch['image'], targets=batch['targets'],
+            params, state, image, targets=targets,
             train=True, rng=rng, compute_dtype=compute_dtype)
         return losses['loss'][0], (losses, new_state)
+
+    if remat:
+        fwd = jax.checkpoint(fwd)
+
+    def loss_fn(params, state, batch, rng):
+        return fwd(params, state, batch['image'], batch['targets'], rng)
 
     def train_step(params, state, opt_state, batch, rng):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

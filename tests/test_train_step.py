@@ -298,3 +298,33 @@ def test_multi_step_unroll_equivalence():
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_remat_step_matches_plain():
+    """remat=True (jax.checkpoint around the forward) must be numerically
+    identical: same loss and same updated params as the plain step."""
+    net = DetectionNetwork.from_cfg(get_mesh_cfg())
+    mesh = make_mesh()
+    params, state = net.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(cosine_warmup(1e-3, 1e-6, 1, 10000))
+    opt_state = opt.init(params)
+    batch = _make_batch(8, 64)
+    host = jax.device_get((params, state, opt_state))
+    rng = jax.random.PRNGKey(3)
+
+    results = []
+    for remat in (False, True):
+        step = make_train_step(net, opt, remat=remat)
+        jstep = jit_train_step(step, mesh)
+        repl = replicated(mesh)
+        p, s, o = jax.tree.map(lambda x: jax.device_put(x, repl), host)
+        b = jax.tree.map(lambda x: jax.device_put(x, batch_sharding(mesh)),
+                         batch)
+        p, s, o, m = jstep(p, s, o, b, rng)
+        results.append((float(m['loss']), jax.device_get(p)))
+
+    assert results[0][0] == pytest.approx(results[1][0], rel=1e-6)
+    for a, b in zip(jax.tree.leaves(results[0][1]),
+                    jax.tree.leaves(results[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
