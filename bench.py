@@ -95,7 +95,7 @@ def bench_quant(model: str = 'mobilenetv2-fpn', mode: str = 'pallas',
     state = {**state, 'quant': jax.device_get(observe_fwd(params, state, xc))}
     state = jax.tree.map(np.asarray, state)
     qparams = Int8Inference.prepare(convert_to_int8(net, params, state))
-    int8 = Int8Inference(net, mode=mode)
+    int8 = Int8Inference(net, mode=mode, act=qparams['act'])
 
     @jax.jit
     def chain(p, x):

@@ -107,7 +107,8 @@ def _make_predict(args, cfg):
         from pqdet_tpu.compress.quantized import Int8Inference, load_quantized
         network, qparams = load_quantized(args.weight)
         int8 = Int8Inference(network,
-                             mode='int' if args.int8_exact else 'pallas')
+                             mode='int' if args.int8_exact else 'pallas',
+                             act=qparams['act'])
         run = build_predict_pipeline(network, cfg,
                                      apply_fn=lambda p, x: int8.apply(p, x))
         return make_batch_predict(run, Int8Inference.prepare(qparams))

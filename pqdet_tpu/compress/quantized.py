@@ -159,10 +159,11 @@ class Int8Inference:
 
     ``mode``:
     - 'pallas' (default): exact integer semantics through the fused Pallas
-      s8 x s8 -> s32 MXU kernel for every 1x1 conv (requant + activation in
-      the epilogue, recentred-s8 activations, ops/pallas_qconv.py);
-      depthwise/stem convs run bf16 between s8 edges. One op per quantized
-      layer — the fast serving path.
+      s8 x s8 -> s32 kernels (requant + activation in the epilogue,
+      recentred-s8 activations, ops/pallas_qconv.py): 1x1 convs on the MXU,
+      depthwise 3x3 on the VPU, and the small-Cin stem as im2col patches
+      into the same MXU kernel — every mobilenetv2-fpn conv is covered.
+      One op per quantized layer — the fast serving path.
     - 'int': integer accumulation (s32) via XLA convs — exact quantized
       semantics, reference implementation (2x slower: per-layer
       recentre/pad/requant fusions + layout copies dominate)
@@ -174,13 +175,21 @@ class Int8Inference:
     Always run through ``Int8Inference.prepare`` first — host-resident
     qparams cost ~70 ms/call of DevicePut otherwise (and 'pallas' needs its
     derived tensors).
+
+    ``act``: the edge qparams dict may be given at construction to make the
+    scales/zero-points STATIC (baked into the jitted program as constants).
+    Passing them only through ``qparams['act']`` of a jitted apply works too
+    but traces them — one small scalar fusion per conv layer at runtime and
+    a bigger dispatched program (~80 extra ops for mobilenetv2-fpn).
     """
 
-    def __init__(self, network: DetectionNetwork, mode: str = 'pallas'):
+    def __init__(self, network: DetectionNetwork, mode: str = 'pallas',
+                 act: Dict = None):
         assert mode in ('int', 'dequant', 'pallas')
         self.network = network
         self.graph = network.graph
         self.mode = mode
+        self.act = act
 
     @staticmethod
     def prepare(qparams: Dict) -> Dict:
@@ -201,12 +210,22 @@ class Int8Inference:
             elif wq is not None and wq.shape[:3] == (3, 3, 1):
                 # depthwise 3x3 (HWIO with in/groups == 1) -> (3, 3, C)
                 p['wdw'] = np.asarray(wq).reshape(3, 3, wq.shape[3])
+            elif (wq is not None and wq.shape[:2] == (3, 3)
+                  and wq.shape[2] <= 16):
+                # small-Cin dense 3x3 (the stem): im2col view — 9 strided
+                # patch slices turn it into a 1x1 conv on 9*Cin channels,
+                # served by the fused MXU kernel. The XLA bf16 fallback ran
+                # this layer at ~0.09 TFLOP/s (Cin=3 starves the MXU) plus a
+                # 200us layout copy of the 512x512 input.
+                wim = np.asarray(wq).reshape(9 * wq.shape[2], wq.shape[3])
+                p['wim'] = wim
+                p['wim_colsum'] = wim.astype(np.int32).sum(0)
             layers[key] = p
         return {'layers': jax.tree.map(jnp.asarray, layers),
                 'act': qparams['act']}
 
     def apply(self, qparams: Dict, x: jnp.ndarray):
-        act = qparams['act']
+        act = self.act if self.act is not None else qparams['act']
         layers = qparams['layers']
         last_use = self.graph.last_use
         cache: Dict[int, jnp.ndarray] = {}
@@ -245,22 +264,59 @@ class Int8Inference:
                          and xq.shape[1] % a['stride'] == 0
                          and xq.shape[2] % a['stride'] == 0)
                 pw_ok = 'w2d' in p and a['groups'] == 1 and a['stride'] == 1
-                if pallas and cur_sz is not None and (pw_ok or dw_ok):
-                    from pqdet_tpu.ops.pallas_qconv import (qconv1x1_s8,
+                im_ok = ('wim' in p and a['size'] == 3 and padding == 1
+                         and a['groups'] == 1 and a['stride'] in (1, 2)
+                         and xq.shape[1] % a['stride'] == 0
+                         and xq.shape[2] % a['stride'] == 0)
+                if pallas and cur_sz is not None and (pw_ok or dw_ok or im_ok):
+                    from pqdet_tpu.ops.pallas_qconv import (make_scalars,
+                                                            qconv1x1_s8,
                                                             qdwconv3x3_s8)
                     out_edge = act.get(key)
-                    common = dict(
-                        act=a['activation'],
-                        x_scale=cur_sz[0], x_zp=cur_sz[1],
-                        out_scale=None if out_edge is None else out_edge[0],
-                        out_zp=None if out_edge is None else out_edge[1],
-                        interpret=interpret)
+                    if isinstance(cur_sz[0], (int, float)):
+                        # static edge qparams: bake the SMEM scalar vector
+                        # as a jit constant (a runtime fusion otherwise)
+                        sc = make_scalars(
+                            cur_sz[0], cur_sz[1],
+                            None if out_edge is None else out_edge[0],
+                            None if out_edge is None else out_edge[1])
+                        common = dict(act=a['activation'],
+                                      scalars=jnp.asarray(sc),
+                                      requant=out_edge is not None,
+                                      interpret=interpret)
+                    else:  # traced through qparams['act']
+                        common = dict(
+                            act=a['activation'],
+                            x_scale=cur_sz[0], x_zp=cur_sz[1],
+                            out_scale=None if out_edge is None else out_edge[0],
+                            out_zp=None if out_edge is None else out_edge[1],
+                            interpret=interpret)
                     if pw_ok:
                         y = qconv1x1_s8(xq, p['w2d'], p['w_scale'], p['b'],
                                         p['colsum'], **common)
-                    else:
+                    elif dw_ok:
                         y = qdwconv3x3_s8(xq, p['wdw'], p['w_scale'], p['b'],
                                           stride=a['stride'], **common)
+                    else:
+                        # im2col: 9 strided patch slices -> fused 1x1 MXU
+                        # conv on 9*Cin channels (exact integer semantics;
+                        # padding with the recentred zero point = real 0)
+                        s = a['stride']
+                        if isinstance(cur_sz[1], (int, float)):
+                            pad_val = np.int8(round(cur_sz[1]) - 128)
+                        else:
+                            pad_val = (jnp.round(cur_sz[1]) - 128
+                                       ).astype(jnp.int8)
+                        xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                                     constant_values=pad_val)
+                        ho = xq.shape[1] // s
+                        wo = xq.shape[2] // s
+                        patches = jnp.concatenate(
+                            [xp[:, kh:kh + (ho - 1) * s + 1:s,
+                                kw:kw + (wo - 1) * s + 1:s, :]
+                             for kh in range(3) for kw in range(3)], axis=-1)
+                        y = qconv1x1_s8(patches, p['wim'], p['w_scale'],
+                                        p['b'], p['wim_colsum'], **common)
                     xq, cur_sz = y, out_edge
                     if i in last_use:
                         cache[i] = (xq, cur_sz)

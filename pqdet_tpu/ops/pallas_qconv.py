@@ -97,17 +97,34 @@ def _scalars(x_scale, x_zp, out_scale, out_zp, requant):
     ]).reshape(1, 4)
 
 
-@functools.partial(jax.jit, static_argnames=('act', 'interpret'))
+def make_scalars(x_scale, x_zp, out_scale=None, out_zp=None):
+    """Host-side (numpy) version of the SMEM scalar vector, for staging in
+    Int8Inference.prepare: passing precomputed (1, 4) arrays instead of
+    python floats keeps ~2 tiny constant fusions per conv layer out of the
+    compiled program (80+ ops for mobilenetv2-fpn)."""
+    import numpy as np
+    requant = out_scale is not None
+    return np.array([[
+        np.float32(x_scale), np.float32(x_zp),
+        np.float32(1.0 / (out_scale if requant else 1.0)),
+        np.float32((out_zp if requant else 0.0) - 128.0),
+    ]], np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=('act', 'requant', 'interpret'))
 def qconv1x1_s8(x_s8: jnp.ndarray, w_s8: jnp.ndarray, w_scale: jnp.ndarray,
                 b: jnp.ndarray, colsum: jnp.ndarray, *, act: str,
-                x_scale, x_zp, out_scale=None, out_zp=None,
+                x_scale=None, x_zp=None, out_scale=None, out_zp=None,
+                scalars=None, requant=None,
                 interpret: bool = False) -> jnp.ndarray:
     """Fused quantized 1x1 conv (stride 1, groups 1), NHWC in / NHWC out.
 
     x_s8: (N, H, W, Cin) int8 recentred; w_s8: (Cin, Cout) int8; w_scale/b:
     (Cout,) f32; colsum: (Cout,) int32 per-channel sum of w. With
     out_scale/out_zp the output is requantised to recentred s8; otherwise
-    fp32 (edges feeding yolo heads). Scales may be floats or traced scalars.
+    fp32 (edges feeding yolo heads). Scales may be floats or traced scalars,
+    or a precomputed ``scalars`` (1, 4) array from make_scalars (then pass
+    the static ``requant`` flag too).
     """
     n, h, w, cin = x_s8.shape
     cout = w_s8.shape[1]
@@ -115,7 +132,8 @@ def qconv1x1_s8(x_s8: jnp.ndarray, w_s8: jnp.ndarray, w_scale: jnp.ndarray,
     while h % th:
         th -= 1
     tn = min(128, cout)
-    requant = out_scale is not None
+    if requant is None:
+        requant = out_scale is not None
     out_dtype = jnp.int8 if requant else jnp.float32
 
     kern = functools.partial(_qconv1x1_kernel, act=act, requant=requant)
@@ -146,7 +164,8 @@ def qconv1x1_s8(x_s8: jnp.ndarray, w_s8: jnp.ndarray, w_scale: jnp.ndarray,
             bytes_accessed=n * h * w * (cin + cout) + cin * cout,
             transcendentals=0),
         interpret=interpret,
-    )(_scalars(x_scale, x_zp, out_scale, out_zp, requant),
+    )(_scalars(x_scale, x_zp, out_scale, out_zp, requant)
+      if scalars is None else scalars,
       x_s8, w_s8, w_scale.reshape(1, -1).astype(jnp.float32),
       b.reshape(1, -1).astype(jnp.float32),
       colsum.reshape(1, -1).astype(jnp.int32))
@@ -210,10 +229,12 @@ def _qdw_kernel(s_ref, x0_ref, x1_ref, x2_ref, w_ref, ws_ref, b_ref,
               jnp.zeros((), jnp.float32), act, requant, o_ref)
 
 
-@functools.partial(jax.jit, static_argnames=('act', 'stride', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('act', 'stride', 'requant',
+                                              'interpret'))
 def qdwconv3x3_s8(x_s8: jnp.ndarray, w_s8: jnp.ndarray, w_scale: jnp.ndarray,
                   b: jnp.ndarray, *, act: str, stride: int,
-                  x_scale, x_zp, out_scale=None, out_zp=None,
+                  x_scale=None, x_zp=None, out_scale=None, out_zp=None,
+                  scalars=None, requant=None,
                   interpret: bool = False) -> jnp.ndarray:
     """Fused quantized depthwise 3x3 conv (padding 1), NHWC s8 -> NHWC s8/f32.
 
@@ -229,7 +250,8 @@ def qdwconv3x3_s8(x_s8: jnp.ndarray, w_s8: jnp.ndarray, w_scale: jnp.ndarray,
     th = max(1, min(ho, budget))
     while ho % th:
         th -= 1
-    requant = out_scale is not None
+    if requant is None:
+        requant = out_scale is not None
     out_dtype = jnp.int8 if requant else jnp.float32
     tb = stride * th
     nbh = h // tb  # number of input H-blocks (h == stride * ho; ho % th == 0)
@@ -267,7 +289,8 @@ def qdwconv3x3_s8(x_s8: jnp.ndarray, w_s8: jnp.ndarray, w_scale: jnp.ndarray,
             bytes_accessed=n * h * w * c + n * ho * wo * c,
             transcendentals=0),
         interpret=interpret,
-    )(_scalars(x_scale, x_zp, out_scale, out_zp, requant),
+    )(_scalars(x_scale, x_zp, out_scale, out_zp, requant)
+      if scalars is None else scalars,
       x_s8, x_s8, x_s8, wf,
       w_scale.reshape(1, -1).astype(jnp.float32),
       b.reshape(1, -1).astype(jnp.float32))

@@ -311,7 +311,15 @@ class Trainer:
     def _put_batch(self, batch):
         """Host batch -> device arrays with the data sharding. Multi-host:
         this host's local slice becomes its shards of the GLOBAL batch
-        (each host loaded rows [h*B/H, (h+1)*B/H) of the shared epoch plan)."""
+        (each host loaded rows [h*B/H, (h+1)*B/H) of the shared epoch plan).
+
+        Images are cast to the compute dtype on the HOST first: the model
+        casts its input anyway, so uploading bf16 instead of f32 halves
+        host->device bytes (50 -> 25 MB per bs=16@512 batch) with identical
+        numerics (same round-to-nearest, just moved across the transfer)."""
+        if self._compute_dtype is not None:
+            batch = {**batch,
+                     'image': batch['image'].astype(self._compute_dtype)}
         if self._n_proc > 1:
             from pqdet_tpu.parallel.mesh import host_local_batch_to_global
             return host_local_batch_to_global(self.mesh, batch, self._data_sh)

@@ -103,3 +103,45 @@ def test_pallas_decode_odd_height_falls_back():
     out = decode_pallas(raw, 4, 8, interpret=True)  # 7 % 8 -> reference path
     ref = decode_reference(raw, 4, 8)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+
+def test_im2col_stem_exact_vs_int8_conv():
+    """The im2col stem path (strided patch slices + fused 1x1 MXU kernel)
+    == the XLA int8_conv oracle on a dense 3x3 conv, stride 1 and 2."""
+    from pqdet_tpu.compress.quantized import int8_conv
+    from pqdet_tpu.ops.pallas_qconv import make_scalars, qconv1x1_s8
+
+    rng = np.random.RandomState(2)
+    cin, cout = 3, 32
+    xq = rng.randint(0, 256, (1, 16, 16, cin)).astype(np.uint8)
+    w = rng.randint(-127, 128, (3, 3, cin, cout)).astype(np.int8)
+    w_scale = (rng.rand(cout) * 0.01 + 0.001).astype(np.float32)
+    b = (rng.randn(cout) * 0.1).astype(np.float32)
+    xs, xzp = 0.015, 130.0
+    os_, ozp = 0.05, 9.0
+
+    x_s8 = (xq.astype(np.int16) - 128).astype(np.int8)
+    wim = w.reshape(9 * cin, cout)
+    colsum = wim.astype(np.int32).sum(0)
+    pad_val = np.int8(round(xzp) - 128)
+
+    for stride in (1, 2):
+        y_ref = int8_conv(jnp.asarray(xq), (xs, xzp), jnp.asarray(w),
+                          jnp.asarray(w_scale), jnp.asarray(b), stride, 1, 1)
+        y_ref = np.asarray(jnp.where(y_ref > 0, y_ref, 0.1 * y_ref))
+        q_ref = np.clip(np.round(y_ref / os_ + ozp), 0, 255) - 128
+
+        xp = jnp.pad(jnp.asarray(x_s8), ((0, 0), (1, 1), (1, 1), (0, 0)),
+                     constant_values=pad_val)
+        ho = wo = 16 // stride
+        patches = jnp.concatenate(
+            [xp[:, kh:kh + (ho - 1) * stride + 1:stride,
+                kw:kw + (wo - 1) * stride + 1:stride, :]
+             for kh in range(3) for kw in range(3)], axis=-1)
+        sc = make_scalars(xs, xzp, os_, ozp)
+        q = qconv1x1_s8(patches, jnp.asarray(wim), jnp.asarray(w_scale),
+                        jnp.asarray(b), jnp.asarray(colsum), act='leaky',
+                        scalars=jnp.asarray(sc), requant=True,
+                        interpret=True)
+        assert q.shape == (1, ho, wo, cout)
+        np.testing.assert_array_equal(np.asarray(q).astype(np.int32), q_ref)
