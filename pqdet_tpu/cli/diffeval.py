@@ -52,6 +52,11 @@ def run_diffeval(cfg, weight: str, limit: int = 0, ref_path: str = None):
     decide thresholds."""
     import torch
     import jax
+    # TPU f32 convs default to one-pass bf16 precision; the torch reference
+    # computes exact f32. Pin HIGHEST so per-detection parity is meaningful
+    # (without it every score differs ~1e-3 and the greedy matcher reports
+    # near-zero match rate even though AP agrees to <0.005).
+    jax.config.update('jax_default_matmul_precision', 'highest')
     from pqdet_tpu.config import size_fix
     from pqdet_tpu.data.eval_data import EvalData
     from pqdet_tpu.evaluation.evaluator import Evaluator

@@ -176,54 +176,55 @@ def qconv1x1_s8(x_s8: jnp.ndarray, w_s8: jnp.ndarray, w_scale: jnp.ndarray,
 def _qdw_kernel(s_ref, x0_ref, x1_ref, x2_ref, w_ref, ws_ref, b_ref,
                 o_ref, *, act: str, requant: bool, stride: int, th: int,
                 h: int):
-    """Depthwise 3x3. Inputs: three consecutive input H-blocks of TB=stride*th
-    rows each (clamped at the edges), stacked window = rows
-    [(i-1)*TB, (i+2)*TB) for interior programs; per-channel tensors (1, C);
-    w (9, C) f32. f32 VPU math is exact for s8 operands."""
+    """Depthwise 3x3. Inputs: the TB=stride*th-row body block plus ONE
+    halo row each side (row-granular BlockSpecs, clamped at the borders) —
+    the window is exactly the TB+2 rows the taps read, not 3 full blocks
+    (which tripled both the HBM fetch and the f32 window build).
+    Per-channel tensors (1, C); w (9, C) f32. f32 VPU math is exact for
+    s8 operands."""
     i = pl.program_id(1)
     tb = stride * th
     c = x1_ref.shape[-1]
 
-    # (3*TB, W, C) f32 window; mask rows outside the real image to the pad
-    # value (recentred zero point = real 0)
+    # (TB+2, W, C) f32 window; mask the halo rows outside the real image
+    # to the pad value (recentred zero point = real 0). The clamped halo
+    # blocks duplicate real rows at the borders (claimed row -1 / row h),
+    # which the claimed-global-index mask overwrites with pad.
     win = jnp.concatenate([x0_ref[0], x1_ref[0], x2_ref[0]], axis=0)
     win = win.astype(jnp.float32)
     pad = s_ref[0, 1] - 128.0  # x_zp - 128
-    row0 = (i - 1) * tb  # global row of window row 0 for interior programs
-    # at i == 0 the first block is clamped to block 0 -> its rows are NOT
-    # rows [-TB, 0); at the last i the third block duplicates; both cases
-    # only matter for the single halo row each side, fixed by masking
-    gidx = jax.lax.broadcasted_iota(jnp.int32, (3 * tb, 1, 1), 0) + row0
-    # rows the window CLAIMS to hold vs rows it actually holds: clamped
-    # blocks repeat real rows, so claimed-global-index masking with the pad
-    # value is exactly right at the image borders (claimed row -1 / row h)
+    row0 = i * tb - 1  # global row of window row 0
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (tb + 2, 1, 1), 0) + row0
     win = jnp.where((gidx >= 0) & (gidx < h), win, pad)
 
     # pad W by 1 each side with the real-zero pad value
     win = jnp.concatenate([
-        jnp.full((3 * tb, 1, c), pad, jnp.float32), win,
-        jnp.full((3 * tb, 1, c), pad, jnp.float32)], axis=1)
+        jnp.full((tb + 2, 1, c), pad, jnp.float32), win,
+        jnp.full((tb + 2, 1, c), pad, jnp.float32)], axis=1)
 
-    # output rows r in [0, th): input rows tb + stride*r - 1 + kh. Mosaic
-    # rejects strided vector slices, so stride-2 subsampling is expressed as
-    # a contiguous slice + reshape-split + static index instead.
+    # output rows r in [0, th): window rows stride*r + kh. Mosaic rejects
+    # strided vector slices, so stride-2 subsampling is a contiguous slice
+    # + reshape-split + static index; columns split into even/odd parity
+    # ONCE per kh (taps kw=0/2 read even columns, kw=1 odd).
     x_off = s_ref[0, 1] - 128.0
     wo = o_ref.shape[2]
+    w1 = win.shape[1]  # padded width, even when stride == 2
     acc = jnp.zeros((th, wo, c), jnp.float32)
     for kh in range(3):
-        start = tb - 1 + kh
         if stride == 1:
-            rows = jax.lax.slice_in_dim(win, start, start + th, axis=0)
+            rows = jax.lax.slice_in_dim(win, kh, kh + th, axis=0)
+            taps = [jax.lax.slice_in_dim(rows, kw, kw + wo, axis=1)
+                    for kw in range(3)]
         else:
-            rows = jax.lax.slice_in_dim(win, start, start + 2 * th, axis=0)
-            rows = rows.reshape(th, 2, rows.shape[1], c)[:, 0]
+            rows = jax.lax.slice_in_dim(win, kh, kh + 2 * th, axis=0)
+            rows = rows.reshape(th, 2, w1, c)[:, 0]
+            par = rows.reshape(th, w1 // 2, 2, c)
+            even, odd = par[:, :, 0], par[:, :, 1]
+            taps = [jax.lax.slice_in_dim(even, 0, wo, axis=1),
+                    jax.lax.slice_in_dim(odd, 0, wo, axis=1),
+                    jax.lax.slice_in_dim(even, 1, 1 + wo, axis=1)]
         for kw in range(3):
-            if stride == 1:
-                cols = jax.lax.slice_in_dim(rows, kw, kw + wo, axis=1)
-            else:
-                cols = jax.lax.slice_in_dim(rows, kw, kw + 2 * wo, axis=1)
-                cols = cols.reshape(th, wo, 2, c)[:, :, 0]
-            acc = acc + w_ref[3 * kh + kw, :] * (cols - x_off)
+            acc = acc + w_ref[3 * kh + kw, :] * (taps[kw] - x_off)
     # acc already has the (x - zp) offset folded -> colsum term must be zero
     _epilogue(acc[None], s_ref, ws_ref[:], b_ref[:],
               jnp.zeros((), jnp.float32), act, requant, o_ref)
@@ -244,9 +245,9 @@ def qdwconv3x3_s8(x_s8: jnp.ndarray, w_s8: jnp.ndarray, w_scale: jnp.ndarray,
     """
     n, h, w, c = x_s8.shape
     ho, wo = (h + stride - 1) // stride, (w + stride - 1) // stride
-    # larger row blocks amortise program launch + halo re-fetch; cap the
-    # f32 window (3*stride*th, w+2, c) to ~4 MB of VMEM
-    budget = 4 * 2 ** 20 // (4 * 3 * stride * (w + 2) * c)
+    # larger row blocks amortise program launch; cap the f32 window
+    # (stride*th + 2, w+2, c) to ~4 MB of VMEM
+    budget = 4 * 2 ** 20 // (4 * stride * (w + 2) * c)
     th = max(1, min(ho, budget))
     while ho % th:
         th -= 1
@@ -254,16 +255,16 @@ def qdwconv3x3_s8(x_s8: jnp.ndarray, w_s8: jnp.ndarray, w_scale: jnp.ndarray,
         requant = out_scale is not None
     out_dtype = jnp.int8 if requant else jnp.float32
     tb = stride * th
-    nbh = h // tb  # number of input H-blocks (h == stride * ho; ho % th == 0)
 
     kern = functools.partial(_qdw_kernel, act=act, requant=requant,
                              stride=stride, th=th, h=h)
 
-    def blk(off):
-        def index_map(ni, i):
-            return (ni, jnp.clip(i + off, 0, nbh - 1), 0, 0)
-        return pl.BlockSpec((1, tb, w, c), index_map,
-                            memory_space=pltpu.VMEM)
+    # halo = ONE row above / below the body block, row-granular BlockSpecs
+    # (clamped at the borders; the kernel masks the duplicated rows to pad)
+    halo = lambda off: pl.BlockSpec(
+        (1, 1, w, c),
+        lambda ni, i, _o=off: (ni, jnp.clip(i * tb + _o, 0, h - 1), 0, 0),
+        memory_space=pltpu.VMEM)
 
     wf = w_s8.reshape(9, c).astype(jnp.float32)
     grid = (n, ho // th)
@@ -273,7 +274,10 @@ def qdwconv3x3_s8(x_s8: jnp.ndarray, w_s8: jnp.ndarray, w_scale: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, 4), lambda ni, i: (0, 0),
                          memory_space=pltpu.SMEM),
-            blk(-1), blk(0), blk(1),
+            halo(-1),
+            pl.BlockSpec((1, tb, w, c), lambda ni, i: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            halo(tb),
             pl.BlockSpec((9, c), lambda ni, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda ni, i: (0, 0),

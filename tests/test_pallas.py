@@ -145,3 +145,32 @@ def test_im2col_stem_exact_vs_int8_conv():
                         interpret=True)
         assert q.shape == (1, ho, wo, cout)
         np.testing.assert_array_equal(np.asarray(q).astype(np.int32), q_ref)
+
+
+def test_qdwconv_multiprogram_halo_rows():
+    """Force th < H so the grid has several programs and halo rows cross
+    program boundaries (and image borders) — vs the XLA int8_conv oracle."""
+    from pqdet_tpu.compress.quantized import int8_conv
+    from pqdet_tpu.ops.pallas_qconv import qdwconv3x3_s8
+
+    rng = np.random.RandomState(3)
+    c = 512  # (w+2)*c*4 > 4MB/th budget -> th=4, grid of 4 H-programs
+    xq = rng.randint(0, 256, (1, 16, 256, c)).astype(np.uint8)
+    w = rng.randint(-127, 128, (3, 3, 1, c)).astype(np.int8)
+    w_scale = (rng.rand(c) * 0.01 + 0.001).astype(np.float32)
+    b = (rng.randn(c) * 0.1).astype(np.float32)
+    xs, xzp = 0.02, 117.0
+
+    for stride in (1, 2):
+        y_ref = int8_conv(jnp.asarray(xq), (xs, xzp), jnp.asarray(w),
+                          jnp.asarray(w_scale), jnp.asarray(b), stride, 1, c)
+        y_ref = np.asarray(jnp.maximum(y_ref, 0.0))
+        y = qdwconv3x3_s8(jnp.asarray((xq.astype(np.int16) - 128)
+                                      .astype(np.int8)),
+                          jnp.asarray(w.reshape(3, 3, c)),
+                          jnp.asarray(w_scale), jnp.asarray(b), act='relu',
+                          stride=stride, x_scale=xs, x_zp=xzp,
+                          interpret=True)
+        assert y.shape == y_ref.shape
+        np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-4,
+                                   rtol=1e-5)
