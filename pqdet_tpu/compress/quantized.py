@@ -212,14 +212,28 @@ class Int8Inference:
                 p['wdw'] = np.asarray(wq).reshape(3, 3, wq.shape[3])
             elif (wq is not None and wq.shape[:2] == (3, 3)
                   and wq.shape[2] <= 16):
-                # small-Cin dense 3x3 (the stem): im2col view — 9 strided
-                # patch slices turn it into a 1x1 conv on 9*Cin channels,
-                # served by the fused MXU kernel. The XLA bf16 fallback ran
-                # this layer at ~0.09 TFLOP/s (Cin=3 starves the MXU) plus a
-                # 200us layout copy of the 512x512 input.
-                wim = np.asarray(wq).reshape(9 * wq.shape[2], wq.shape[3])
+                # small-Cin dense 3x3 (the stem): im2col views — patch
+                # slices turn it into a 1x1 conv on the fused MXU kernel.
+                # The XLA bf16 fallback ran this layer at ~0.09 TFLOP/s
+                # (Cin=3 starves the MXU) plus a 200us input layout copy.
+                w = np.asarray(wq)
+                cin, cout = w.shape[2], w.shape[3]
+                # stride 1: 9 stride-1 slices of the padded input,
+                # channels ordered (kh, kw, ci)
+                wim = w.reshape(9 * cin, cout)
                 p['wim'] = wim
                 p['wim_colsum'] = wim.astype(np.int32).sum(0)
+                # stride 2: row-parity patch weights — per kh the
+                # (W, Cin)-merged view contributes lanes (kw=1 ci...,
+                # kw=2 ci...) then the shifted kw=0 tap (ci...)
+                wp = np.zeros((9 * cin, cout), w.dtype)
+                for kh in range(3):
+                    base = 3 * cin * kh
+                    wp[base:base + cin] = w[kh, 1]
+                    wp[base + cin:base + 2 * cin] = w[kh, 2]
+                    wp[base + 2 * cin:base + 3 * cin] = w[kh, 0]
+                p['wim_p'] = wp
+                p['wim_p_colsum'] = wp.astype(np.int32).sum(0)
             layers[key] = p
         return {'layers': jax.tree.map(jnp.asarray, layers),
                 'act': qparams['act']}
@@ -276,12 +290,11 @@ class Int8Inference:
                     if isinstance(cur_sz[0], (int, float)):
                         # static edge qparams: bake the SMEM scalar vector
                         # as a jit constant (a runtime fusion otherwise)
-                        sc = make_scalars(
+                        sc = jnp.asarray(make_scalars(
                             cur_sz[0], cur_sz[1],
                             None if out_edge is None else out_edge[0],
-                            None if out_edge is None else out_edge[1])
-                        common = dict(act=a['activation'],
-                                      scalars=jnp.asarray(sc),
+                            None if out_edge is None else out_edge[1]))
+                        common = dict(act=a['activation'], scalars=sc,
                                       requant=out_edge is not None,
                                       interpret=interpret)
                     else:  # traced through qparams['act']
@@ -298,25 +311,59 @@ class Int8Inference:
                         y = qdwconv3x3_s8(xq, p['wdw'], p['w_scale'], p['b'],
                                           stride=a['stride'], **common)
                     else:
-                        # im2col: 9 strided patch slices -> fused 1x1 MXU
-                        # conv on 9*Cin channels (exact integer semantics;
-                        # padding with the recentred zero point = real 0)
+                        # im2col: patch slices -> fused 1x1 MXU conv
+                        # (exact integer semantics; padding with the
+                        # recentred zero point = real 0). Stride 1 uses 9
+                        # stride-1 slices; stride 2 goes through
+                        # space-to-depth first because stride-2 XLA slices
+                        # lower to 428us gather fusions each.
                         s = a['stride']
                         if isinstance(cur_sz[1], (int, float)):
                             pad_val = np.int8(round(cur_sz[1]) - 128)
                         else:
                             pad_val = (jnp.round(cur_sz[1]) - 128
                                        ).astype(jnp.int8)
-                        xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                                     constant_values=pad_val)
-                        ho = xq.shape[1] // s
-                        wo = xq.shape[2] // s
-                        patches = jnp.concatenate(
-                            [xp[:, kh:kh + (ho - 1) * s + 1:s,
-                                kw:kw + (wo - 1) * s + 1:s, :]
-                             for kh in range(3) for kw in range(3)], axis=-1)
-                        y = qconv1x1_s8(patches, p['wim'], p['w_scale'],
-                                        p['b'], p['wim_colsum'], **common)
+                        n, hh, ww, cc = xq.shape
+                        if s == 1:
+                            xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1),
+                                              (0, 0)),
+                                         constant_values=pad_val)
+                            patches = jnp.concatenate(
+                                [xp[:, kh:kh + hh, kw:kw + ww, :]
+                                 for kh in range(3) for kw in range(3)],
+                                axis=-1)
+                            y = qconv1x1_s8(patches, p['wim'], p['w_scale'],
+                                            p['b'], p['wim_colsum'],
+                                            **common)
+                        else:
+                            # stride 2 via row parity: the (W, Cin)-merged
+                            # bitcast view makes every tap a PLAIN slice
+                            # (stride-2 XLA slices lowered to 428us gather
+                            # fusions each; space-to-depth cost 420us of
+                            # layout copies). Out row r reads rows 2r+kh-1:
+                            # kh=1 -> even rows, kh=0/2 -> odd rows shifted;
+                            # each row part's lanes hold cols (2c, 2c+1) =
+                            # the kw=1,2 taps, and lanes [cc:2cc] shifted
+                            # one column right give kw=0.
+                            ho, wo = hh // 2, ww // 2
+                            x4 = xq.reshape(n, ho, 2, wo, 2 * cc)
+                            xe, xo = x4[:, :, 0], x4[:, :, 1]
+                            pad_row = jnp.full((n, 1, wo, 2 * cc), pad_val,
+                                               jnp.int8)
+                            pad_col = jnp.full((n, ho, 1, cc), pad_val,
+                                               jnp.int8)
+                            parts = []
+                            for R in (jnp.concatenate(
+                                    [pad_row, xo[:, :ho - 1]], axis=1),
+                                    xe, xo):
+                                parts.append(R)  # kw=1,2 (2*cc lanes)
+                                parts.append(jnp.concatenate(
+                                    [pad_col, R[:, :, :wo - 1, cc:]],
+                                    axis=2))     # kw=0 (cc lanes)
+                            patches = jnp.concatenate(parts, axis=-1)
+                            y = qconv1x1_s8(patches, p['wim_p'],
+                                            p['w_scale'], p['b'],
+                                            p['wim_p_colsum'], **common)
                     xq, cur_sz = y, out_edge
                     if i in last_use:
                         cache[i] = (xq, cur_sz)

@@ -213,18 +213,20 @@ def _qdw_kernel(s_ref, x0_ref, x1_ref, x2_ref, w_ref, ws_ref, b_ref,
     for kh in range(3):
         if stride == 1:
             rows = jax.lax.slice_in_dim(win, kh, kh + th, axis=0)
-            taps = [jax.lax.slice_in_dim(rows, kw, kw + wo, axis=1)
-                    for kw in range(3)]
+            # one live tap temp at a time (a 3-tap list doubles peak VMEM)
+            for kw in range(3):
+                tap = jax.lax.slice_in_dim(rows, kw, kw + wo, axis=1)
+                acc = acc + w_ref[3 * kh + kw, :] * (tap - x_off)
         else:
             rows = jax.lax.slice_in_dim(win, kh, kh + 2 * th, axis=0)
             rows = rows.reshape(th, 2, w1, c)[:, 0]
             par = rows.reshape(th, w1 // 2, 2, c)
             even, odd = par[:, :, 0], par[:, :, 1]
-            taps = [jax.lax.slice_in_dim(even, 0, wo, axis=1),
-                    jax.lax.slice_in_dim(odd, 0, wo, axis=1),
-                    jax.lax.slice_in_dim(even, 1, 1 + wo, axis=1)]
-        for kw in range(3):
-            acc = acc + w_ref[3 * kh + kw, :] * (taps[kw] - x_off)
+            for kw, tap in ((0, jax.lax.slice_in_dim(even, 0, wo, axis=1)),
+                            (1, jax.lax.slice_in_dim(odd, 0, wo, axis=1)),
+                            (2, jax.lax.slice_in_dim(even, 1, 1 + wo,
+                                                     axis=1))):
+                acc = acc + w_ref[3 * kh + kw, :] * (tap - x_off)
     # acc already has the (x - zp) offset folded -> colsum term must be zero
     _epilogue(acc[None], s_ref, ws_ref[:], b_ref[:],
               jnp.zeros((), jnp.float32), act, requant, o_ref)
@@ -246,8 +248,12 @@ def qdwconv3x3_s8(x_s8: jnp.ndarray, w_s8: jnp.ndarray, w_scale: jnp.ndarray,
     n, h, w, c = x_s8.shape
     ho, wo = (h + stride - 1) // stride, (w + stride - 1) // stride
     # larger row blocks amortise program launch; cap the f32 window
-    # (stride*th + 2, w+2, c) to ~4 MB of VMEM
-    budget = 4 * 2 ** 20 // (4 * stride * (w + 2) * c)
+    # (stride*th + 2, w+2, c) to ~1 MB of VMEM — the accumulator, tap
+    # temporaries and double-buffered input blocks multiply the scoped
+    # VMEM several-fold beyond the window itself (a 4 MB window budget
+    # OOMed the 16 MB scoped-vmem limit at 24.6 MB on v5e, 1.3 MB was
+    # still 0.5 MB over)
+    budget = 2 ** 20 // (4 * stride * (w + 2) * c)
     th = max(1, min(ho, budget))
     while ho % th:
         th -= 1

@@ -106,9 +106,11 @@ def test_pallas_decode_odd_height_falls_back():
 
 
 def test_im2col_stem_exact_vs_int8_conv():
-    """The im2col stem path (strided patch slices + fused 1x1 MXU kernel)
-    == the XLA int8_conv oracle on a dense 3x3 conv, stride 1 and 2."""
-    from pqdet_tpu.compress.quantized import int8_conv
+    """The im2col stem paths (stride 1: 9 stride-1 patch slices; stride 2:
+    row-parity bitcast view + plain slices; both into the fused 1x1 MXU
+    kernel) == the XLA int8_conv oracle on a dense 3x3 conv. Uses the
+    executor's own patch construction and prepared weight views."""
+    from pqdet_tpu.compress.quantized import Int8Inference, int8_conv
     from pqdet_tpu.ops.pallas_qconv import make_scalars, qconv1x1_s8
 
     rng = np.random.RandomState(2)
@@ -121,9 +123,11 @@ def test_im2col_stem_exact_vs_int8_conv():
     os_, ozp = 0.05, 9.0
 
     x_s8 = (xq.astype(np.int16) - 128).astype(np.int8)
-    wim = w.reshape(9 * cin, cout)
-    colsum = wim.astype(np.int32).sum(0)
+    prep = Int8Inference.prepare(
+        {'layers': {'0': {'wq': w, 'w_scale': w_scale, 'b': b}}, 'act': {}})
+    p = prep['layers']['0']
     pad_val = np.int8(round(xzp) - 128)
+    sc = jnp.asarray(make_scalars(xs, xzp, os_, ozp))
 
     for stride in (1, 2):
         y_ref = int8_conv(jnp.asarray(xq), (xs, xzp), jnp.asarray(w),
@@ -131,19 +135,33 @@ def test_im2col_stem_exact_vs_int8_conv():
         y_ref = np.asarray(jnp.where(y_ref > 0, y_ref, 0.1 * y_ref))
         q_ref = np.clip(np.round(y_ref / os_ + ozp), 0, 255) - 128
 
-        xp = jnp.pad(jnp.asarray(x_s8), ((0, 0), (1, 1), (1, 1), (0, 0)),
-                     constant_values=pad_val)
-        ho = wo = 16 // stride
-        patches = jnp.concatenate(
-            [xp[:, kh:kh + (ho - 1) * stride + 1:stride,
-                kw:kw + (wo - 1) * stride + 1:stride, :]
-             for kh in range(3) for kw in range(3)], axis=-1)
-        sc = make_scalars(xs, xzp, os_, ozp)
-        q = qconv1x1_s8(patches, jnp.asarray(wim), jnp.asarray(w_scale),
-                        jnp.asarray(b), jnp.asarray(colsum), act='leaky',
-                        scalars=jnp.asarray(sc), requant=True,
-                        interpret=True)
-        assert q.shape == (1, ho, wo, cout)
+        n, hh, ww = 1, 16, 16
+        if stride == 1:
+            xp = jnp.pad(jnp.asarray(x_s8), ((0, 0), (1, 1), (1, 1), (0, 0)),
+                         constant_values=pad_val)
+            patches = jnp.concatenate(
+                [xp[:, kh:kh + hh, kw:kw + ww, :]
+                 for kh in range(3) for kw in range(3)], axis=-1)
+            wv, cs = p['wim'], p['wim_colsum']
+        else:
+            # row-parity construction, mirroring Int8Inference.apply
+            ho, wo = hh // 2, ww // 2
+            x4 = jnp.asarray(x_s8).reshape(n, ho, 2, wo, 2 * cin)
+            xe, xo = x4[:, :, 0], x4[:, :, 1]
+            pad_row = jnp.full((n, 1, wo, 2 * cin), pad_val, jnp.int8)
+            pad_col = jnp.full((n, ho, 1, cin), pad_val, jnp.int8)
+            parts = []
+            for R in (jnp.concatenate([pad_row, xo[:, :ho - 1]], axis=1),
+                      xe, xo):
+                parts.append(R)
+                parts.append(jnp.concatenate(
+                    [pad_col, R[:, :, :wo - 1, cin:]], axis=2))
+            patches = jnp.concatenate(parts, axis=-1)
+            wv, cs = p['wim_p'], p['wim_p_colsum']
+        q = qconv1x1_s8(patches, jnp.asarray(wv), jnp.asarray(w_scale),
+                        jnp.asarray(b), jnp.asarray(cs), act='leaky',
+                        scalars=sc, requant=True, interpret=True)
+        assert q.shape == q_ref.shape
         np.testing.assert_array_equal(np.asarray(q).astype(np.int32), q_ref)
 
 
@@ -174,3 +192,4 @@ def test_qdwconv_multiprogram_halo_rows():
         assert y.shape == y_ref.shape
         np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-4,
                                    rtol=1e-5)
+
