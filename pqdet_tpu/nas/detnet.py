@@ -51,10 +51,14 @@ def _stage_width_at(backbone: Dict, stride: int) -> int:
 
 
 def detnet_600m(num_classes: int = 20,
-                rng: Optional[np.random.RandomState] = None) -> str:
+                rng: Optional[np.random.RandomState] = None,
+                return_head: bool = False):
     """A random candidate around the RegNetX-600MF backbone (the
-    reference's detnet_600m sampler, nas/detnet.py:151-157)."""
+    reference's detnet_600m sampler, nas/detnet.py:151-157). With
+    ``return_head`` also returns the sampled head dict so searches can
+    log it for post-hoc EDF analysis (nas/analysis.py)."""
     rng = rng or np.random.RandomState()
     backbone = regnet_stages(REGNET_CONFIGS['600M'])
     head = sample_head(rng)
-    return build_detnet_cfg(backbone, head, num_classes=num_classes)
+    cfg = build_detnet_cfg(backbone, head, num_classes=num_classes)
+    return (cfg, head) if return_head else cfg

@@ -48,7 +48,8 @@ def generate_candidates(n: int, max_macs: float = 5e9, min_macs: float = 0.0,
     rng = np.random.RandomState(seed)
     produced = 0
     while produced < n:
-        cfg_text = detnet_600m(num_classes=num_classes, rng=rng)
+        cfg_text, head = detnet_600m(num_classes=num_classes, rng=rng,
+                                     return_head=True)
         try:
             graph = Graph.from_cfg(cfg_text)
         except Exception:
@@ -56,7 +57,7 @@ def generate_candidates(n: int, max_macs: float = 5e9, min_macs: float = 0.0,
         macs, params = count_macs_params(graph, (512, 512))
         if not (min_macs <= macs <= max_macs):
             continue
-        info = {'macs': macs, 'params': params}
+        info = {'macs': macs, 'params': params, 'head': head}
         if max_latency_ms is not None:
             latency = measure_latency(cfg_text)
             if latency > max_latency_ms:

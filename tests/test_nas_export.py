@@ -191,3 +191,55 @@ def test_evolute_sampling():
     assert h['conf_loss_beta'] == 2.0
     assert 0.0 <= h['mixup_p'] <= 1.0
     assert h['cls_loss_beta'] in (0.0, 1.0, 2.0)
+
+
+def test_nas_edf_analysis(tmp_path):
+    """EDF/AUC analysis toolkit (reference nas/draw.py semantics): EDF is
+    a proper CDF over errors, AUC ranks a better space higher, filters and
+    the width-window search find a planted good region."""
+    import json
+    from pqdet_tpu.nas.analysis import (best_record, compare_edf,
+                                        compute_auc, compute_edf,
+                                        depth_filter, draw_edf,
+                                        latency_filter, load_records,
+                                        search_width_windows, width_filter)
+
+    rng = np.random.RandomState(0)
+    records = []
+    for k in range(60):
+        w0 = int(rng.choice([64, 128, 256, 512]))
+        # plant structure: wider first branch -> better AP
+        ap = float(np.clip(0.3 + 0.3 * (w0 >= 256) + rng.randn() * 0.05,
+                           0, 1))
+        records.append({
+            'cfg': '', 'ap': ap, 'macs': float(2e9 + k), 'params': 1e6,
+            'latency_ms': 5.0 + (k % 7),
+            'head': {'widths': [w0, 256, 128], 'depth': 1 + k % 6,
+                     'group_ws': [8, 8, 8]}})
+    log = tmp_path / 'nas.json'
+    log.write_text(json.dumps({'data': records}))
+
+    recs = load_records(str(log))
+    assert len(recs) == 60
+    assert best_record(recs)['ap'] == max(r['ap'] for r in recs)
+
+    errors, probs = compute_edf(recs)
+    assert (np.diff(errors) >= 0).all() and probs[-1] == 1.0
+    # a uniformly-better space has strictly higher AUC
+    better = [dict(r, ap=min(r['ap'] + 0.2, 1.0)) for r in recs]
+    assert compute_auc(*compute_edf(better)) > compute_auc(*compute_edf(recs))
+
+    # filters
+    assert all(5 <= r['latency_ms'] < 12
+               for r in recs if latency_filter(4.9, 12)(r))
+    assert all(r['head']['depth'] <= 3
+               for r in recs if depth_filter(1, 3)(r))
+
+    # the planted wide-first-branch region must show a positive AUC delta
+    rep = compare_edf(recs, width_filter([256, 0, 0], [1024, 1024, 1024]))
+    assert rep['delta'] > 0.05, rep
+    windows = search_width_windows(recs, step=64)
+    assert windows and windows[0][1] == 0 and windows[0][2] >= 192
+
+    out = draw_edf([recs], ['all'], str(tmp_path / 'edf.png'))
+    assert (tmp_path / 'edf.png').exists(), out
