@@ -94,7 +94,8 @@ def bench_quant(model: str = 'mobilenetv2-fpn', mode: str = 'pallas',
 
     state = {**state, 'quant': jax.device_get(observe_fwd(params, state, xc))}
     state = jax.tree.map(np.asarray, state)
-    qparams = Int8Inference.prepare(convert_to_int8(net, params, state))
+    qparams = Int8Inference.prepare(convert_to_int8(net, params, state),
+                                    mode=mode)
     int8 = Int8Inference(net, mode=mode, act=qparams['act'])
 
     @jax.jit
@@ -127,12 +128,10 @@ def main():
     else:
         ms = bench_forward(model, batch_size=1)
         metric = f'{model.replace("-", "_")}_forward_ms_bs1_512'
-    print(json.dumps({
-        'metric': metric,
-        'value': round(ms, 3),
-        'unit': 'ms',
-        'vs_baseline': round(BASELINES_MS[model] / ms, 3),
-    }))
+    out = {'metric': metric, 'value': round(ms, 3), 'unit': 'ms'}
+    if model in BASELINES_MS:
+        out['vs_baseline'] = round(BASELINES_MS[model] / ms, 3)
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

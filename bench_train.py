@@ -1,0 +1,95 @@
+"""Training-step benchmark on the real chip: step latency / throughput at
+bs=16/32 (bf16), and the remat (jax.checkpoint) memory-headroom check —
+the largest batch that compiles at 608px with and without train.remat.
+
+    python bench_train.py [throughput|remat]
+
+Timing methodology: N dependent train steps dispatched back-to-back (the
+params pytree carries the dependency), fenced once at the end — per-step
+time is honest device time plus amortised dispatch (same reasoning as
+bench.py's chained forwards; reference train epoch: 187 s for 16.5k
+images on 2x1080 Ti, README.md:105).
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def _setup(batch_size, size, remat=False):
+    import jax
+    import jax.numpy as jnp
+    from pqdet_tpu.model.network import DetectionNetwork
+    from pqdet_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+    from pqdet_tpu.train.schedule import cosine_warmup
+    from pqdet_tpu.train.step import (jit_train_step, make_optimizer,
+                                      make_train_step)
+    from pqdet_tpu.zoo import get_cfg
+
+    net = DetectionNetwork.from_cfg(get_cfg('mobilenetv2-fpn'))
+    params, state = net.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(cosine_warmup(2e-4, 1e-6, 500, 50000))
+    opt_state = opt.init(params)
+    step = make_train_step(net, opt, compute_dtype=jnp.bfloat16, remat=remat)
+    mesh = make_mesh()
+    jstep = jit_train_step(step, mesh)
+
+    rng = np.random.RandomState(0)
+    nc, a, gt = 20, 3, 64
+    tgt = []
+    for s in (8, 16, 32):
+        g = size // s
+        lab = np.zeros((batch_size, g, g, a, 6 + nc), np.float32)
+        lab[..., -1] = 1.0
+        tgt.append(lab)
+    tgt += [np.zeros((batch_size, gt, 4), np.float32) for _ in range(3)]
+    batch = {'image': rng.rand(batch_size, size, size, 3)
+             .astype(np.float32).astype(jnp.bfloat16),
+             'targets': tuple(tgt)}
+    put = lambda sh: lambda x: jax.device_put(np.asarray(x), sh)
+    batch = jax.tree.map(put(batch_sharding(mesh)), batch)
+    carry = jax.tree.map(put(replicated(mesh)), (params, state, opt_state))
+    return jstep, carry, batch
+
+
+def throughput():
+    import jax
+    for bs in (16, 32):
+        jstep, (params, state, opt_state), batch = _setup(bs, 512)
+        rngs = jax.random.split(jax.random.PRNGKey(1), 21)
+        params, state, opt_state, m = jstep(params, state, opt_state,
+                                            batch, rngs[0])
+        jax.block_until_ready(m['loss'])  # compile + warmup
+        t0 = time.perf_counter()
+        for i in range(20):
+            params, state, opt_state, m = jstep(params, state, opt_state,
+                                                batch, rngs[i + 1])
+        jax.block_until_ready(m['loss'])
+        dt = (time.perf_counter() - t0) / 20
+        print(f'bs={bs} @512 bf16: {dt * 1e3:.1f} ms/step '
+              f'({bs / dt:.0f} imgs/s)')
+
+
+def remat_probe():
+    import jax
+    for remat in (False, True):
+        fitted = None
+        for bs in (128, 192, 256, 320, 384):
+            try:
+                jstep, (p, s, o), batch = _setup(bs, 608, remat=remat)
+                _, _, _, m = jstep(p, s, o, batch, jax.random.PRNGKey(1))
+                jax.block_until_ready(m['loss'])
+                fitted = bs
+                print(f'remat={remat}: bs={bs} @608 ok '
+                      f'(loss {float(m["loss"]):.2f})')
+            except Exception as e:
+                msg = str(e).splitlines()[0][:120]
+                print(f'remat={remat}: bs={bs} @608 FAILED: {msg}')
+                break
+        print(f'remat={remat}: max bs @608 = {fitted}')
+
+
+if __name__ == '__main__':
+    mode = sys.argv[1] if len(sys.argv) > 1 else 'throughput'
+    {'throughput': throughput, 'remat': remat_probe}[mode]()

@@ -111,7 +111,8 @@ def _make_predict(args, cfg):
                              act=qparams['act'])
         run = build_predict_pipeline(network, cfg,
                                      apply_fn=lambda p, x: int8.apply(p, x))
-        return make_batch_predict(run, Int8Inference.prepare(qparams))
+        return make_batch_predict(run, Int8Inference.prepare(
+            qparams, mode='int' if args.int8_exact else 'pallas'))
 
     from pqdet_tpu.config import resolve_model_cfg
     from pqdet_tpu.model.factory import build_detector, inference_params
@@ -182,6 +183,9 @@ def cmd_benchmark(args, cfg):
         print('{}: mean {:.2f}ms/batch ({:.2f}ms/img over {} imgs)'.format(
             s['name'], s['mean'] / 1e6, s['mean'] / 1e6 / max(
                 cfg.eval.batch_size, 1), n_img))
+    print('[stage timers fence with block_until_ready; through the axon '
+          'tunnel that is dispatch-level, not device time — see bench.py '
+          'for the fenced chained-jit methodology]')
 
 
 def main():

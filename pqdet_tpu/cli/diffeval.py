@@ -49,14 +49,25 @@ def _match_detections(a: np.ndarray, b: np.ndarray, box_tol: float = 1.0,
 
 def run_diffeval(cfg, weight: str, limit: int = 0, ref_path: str = None):
     """Returns a report dict (see keys below); asserts nothing — callers
-    decide thresholds."""
+    decide thresholds.
+
+    TPU f32 convs default to one-pass bf16 precision; the torch reference
+    computes exact f32. Pin HIGHEST so per-detection parity is meaningful
+    (without it every score differs ~1e-3 and the greedy matcher reports
+    near-zero match rate even though AP agrees to <0.005). Restored on
+    exit so library callers (tests) don't leak precision globally."""
+    import jax
+    prev = jax.config.jax_default_matmul_precision
+    jax.config.update('jax_default_matmul_precision', 'highest')
+    try:
+        return _run_diffeval(cfg, weight, limit, ref_path)
+    finally:
+        jax.config.update('jax_default_matmul_precision', prev)
+
+
+def _run_diffeval(cfg, weight: str, limit: int, ref_path: str):
     import torch
     import jax
-    # TPU f32 convs default to one-pass bf16 precision; the torch reference
-    # computes exact f32. Pin HIGHEST so per-detection parity is meaningful
-    # (without it every score differs ~1e-3 and the greedy matcher reports
-    # near-zero match rate even though AP agrees to <0.005).
-    jax.config.update('jax_default_matmul_precision', 'highest')
     from pqdet_tpu.config import size_fix
     from pqdet_tpu.data.eval_data import EvalData
     from pqdet_tpu.evaluation.evaluator import Evaluator

@@ -192,17 +192,18 @@ class Int8Inference:
         self.act = act
 
     @staticmethod
-    def prepare(qparams: Dict) -> Dict:
+    def prepare(qparams: Dict, mode: str = 'pallas') -> Dict:
         """Stage qparams on device once. convert_to_int8/load_quantized
         return host numpy arrays (for serialisation); passing those to a
         jitted apply re-uploads them EVERY call (measured ~70 ms/call of
-        DevicePut on the tunnel vs ~1 ms of actual compute). Also derives
-        the Pallas-kernel views of every 1x1 conv: (Cin, Cout) weights and
-        per-channel column sums."""
+        DevicePut on the tunnel vs ~1 ms of actual compute). In 'pallas'
+        mode also derives the kernel weight views ((Cin, Cout) 1x1
+        matrices, depthwise/HWC and im2col stems, per-channel column
+        sums); 'int'/'dequant' skip those dead uploads."""
         layers = {}
         for key, p in qparams['layers'].items():
             p = dict(p)
-            wq = p.get('wq')
+            wq = p.get('wq') if mode == 'pallas' else None
             if wq is not None and wq.shape[0] == 1 and wq.shape[1] == 1:
                 w2d = np.asarray(wq).reshape(wq.shape[2], wq.shape[3])
                 p['w2d'] = w2d
@@ -277,7 +278,8 @@ class Int8Inference:
                          and a['groups'] == a['filters']
                          and xq.shape[1] % a['stride'] == 0
                          and xq.shape[2] % a['stride'] == 0)
-                pw_ok = 'w2d' in p and a['groups'] == 1 and a['stride'] == 1
+                pw_ok = ('w2d' in p and a['groups'] == 1
+                         and a['stride'] == 1 and padding == 0)
                 im_ok = ('wim' in p and a['size'] == 3 and padding == 1
                          and a['groups'] == 1 and a['stride'] in (1, 2)
                          and xq.shape[1] % a['stride'] == 0

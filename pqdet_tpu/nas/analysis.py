@@ -120,8 +120,10 @@ def search_width_windows(records: Records, step: int = 24,
     ws = np.array([r['head']['widths'] for r in records])  # (N, 3)
     results = []
     for i in range(3):
+        # grid spans floor(min) .. ceil(max) in step units so the widest
+        # widths are inside candidate windows too
         lo_grid = np.arange(ws[:, i].min() // step * step,
-                            ws[:, i].max() + 1, step)
+                            -(-ws[:, i].max() // step) * step + 1, step)
         for lo in lo_grid:
             for hi in lo_grid[lo_grid > lo]:
                 flt = lambda r, i=i, lo=lo, hi=hi: \

@@ -242,10 +242,14 @@ def qdwconv3x3_s8(x_s8: jnp.ndarray, w_s8: jnp.ndarray, w_scale: jnp.ndarray,
     """Fused quantized depthwise 3x3 conv (padding 1), NHWC s8 -> NHWC s8/f32.
 
     x_s8: (N, H, W, C) int8 recentred; w_s8: (3, 3, C) int8 (HWC depthwise);
-    w_scale/b: (C,) f32. Output spatial dims: ceil(H/stride) x ceil(W/stride)
-    for stride 2 (matches SAME-style darknet stride-2 3x3), H x W for 1.
+    w_scale/b: (C,) f32. Output spatial dims: H x W for stride 1,
+    (H/2, W/2) for stride 2 — H and W must be even then (the column-parity
+    subsampling needs an even padded width; Int8Inference gates on this).
     """
     n, h, w, c = x_s8.shape
+    if stride == 2 and (h % 2 or w % 2):
+        raise ValueError(f'stride-2 depthwise kernel needs even H/W, '
+                         f'got {(h, w)}')
     ho, wo = (h + stride - 1) // stride, (w + stride - 1) // stride
     # larger row blocks amortise program launch; cap the f32 window
     # (stride*th + 2, w+2, c) to ~1 MB of VMEM — the accumulator, tap
