@@ -73,9 +73,9 @@ def throughput():
 
 def remat_probe():
     import jax
-    for remat in (False, True):
+    for remat in (0, 4):
         fitted = None
-        for bs in (128, 192, 256, 320, 384):
+        for bs in (256, 320, 384, 448):
             try:
                 jstep, (p, s, o), batch = _setup(bs, 608, remat=remat)
                 _, _, _, m = jstep(p, s, o, batch, jax.random.PRNGKey(1))

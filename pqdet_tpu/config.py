@@ -196,10 +196,14 @@ DEFAULTS: Dict[str, Any] = {
         # amortises per-dispatch marshalling; multi-scale sizes are then
         # drawn per group of unroll_steps batches instead of per batch)
         'unroll_steps': 1,
-        # rematerialise activations in the backward pass (jax.checkpoint):
-        # ~1/3 extra forward FLOPs for ~half the activation HBM — lifts the
-        # max single-chip batch/input size
-        'remat': False,
+        # activation rematerialisation (jax.checkpoint) for the backward
+        # pass: N >= 2 runs the graph walk as N checkpointed segments
+        # (only boundary activations stored; ~1 extra forward of FLOPs).
+        # 0 disables; 1 wraps the whole forward (measured on v5e: REDUCES
+        # max batch, avoid). Measured gains depend on the net: shallow
+        # wide CNNs are bounded by single-layer temporaries, deep stacks
+        # by stored activations (see STATUS.md).
+        'remat': 0,
     },
     'augment': {
         'mixup_p': 0.5,

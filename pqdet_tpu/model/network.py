@@ -13,6 +13,7 @@ Params and BN statistics are plain pytrees: ``params[str(i)]`` /
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -66,7 +67,7 @@ class Network:
     def apply(self, params: Dict, state: Dict, x: jnp.ndarray,
               targets: Optional[tuple] = None, train: bool = False,
               rng=None, compute_dtype=None, quant_ctx=None,
-              pallas_decode: bool = False):
+              pallas_decode: bool = False, remat_segments: int = 0):
         """Run the graph. Returns (outputs, new_state).
 
         ``outputs`` is the list of yolo-head results (decoded preds in
@@ -77,15 +78,68 @@ class Network:
         input quantisation, per-channel weight fake-quant, and activation
         observers on quantised edges (the torch QuantStub/FloatFunctional
         analogue, reference model/interpreter.py:27-53).
+
+        ``remat_segments`` > 1 splits the walk into that many
+        jax.checkpoint segments: only segment-BOUNDARY activations (the
+        running tensor + live skip-connection cache) are stored for the
+        backward pass; everything inside a segment is recomputed. This is
+        the memory lever for large batch/input training — wrapping the
+        WHOLE forward in jax.checkpoint (segments == 1) measurably
+        reduces the max batch instead (the backward re-materialises every
+        activation at once), so use several segments. Incompatible with
+        quant_ctx (its observer side-channel would capture inner-trace
+        values).
         """
-        cache: Dict[int, jnp.ndarray] = {}
-        new_state = dict(state)
-        outputs = []
-        last_use = self.graph.last_use
+        if remat_segments > 1:
+            if quant_ctx is not None:
+                raise ValueError('remat_segments is incompatible with QAT '
+                                 'observation (quant_ctx)')
+            bounds = np.linspace(0, len(self.graph.nodes),
+                                 remat_segments + 1).astype(int)
+            segs = [self.graph.nodes[bounds[k]:bounds[k + 1]]
+                    for k in range(remat_segments)]
+            new_state = dict(state)
+            outputs = []
+            cache: Dict[int, jnp.ndarray] = {}
+            for nodes in segs:
+                if not len(nodes):
+                    continue
+                seg = functools.partial(
+                    self._walk, nodes, params, state, targets=targets,
+                    train=train, compute_dtype=compute_dtype,
+                    quant_ctx=None, pallas_decode=pallas_decode)
+                x, cache, updates, outs, rng = jax.checkpoint(seg)(
+                    x, cache, rng)
+                new_state.update(updates)
+                outputs += outs
+            if not outputs:
+                return x, new_state
+            return outputs, new_state
+
         if quant_ctx is not None:
             x = quant_ctx.quantize_input(x)
+        new_state = dict(state)
+        x, _, updates, outputs, _ = self._walk(
+            self.graph.nodes, params, state, x, {}, rng, targets=targets,
+            train=train, compute_dtype=compute_dtype, quant_ctx=quant_ctx,
+            pallas_decode=pallas_decode)
+        new_state.update(updates)
+        if not outputs:
+            return x, new_state
+        return outputs, new_state
 
-        for node in self.graph.nodes:
+    def _walk(self, nodes, params: Dict, state: Dict, x, cache: Dict,
+              rng, targets=None, train: bool = False, compute_dtype=None,
+              quant_ctx=None, pallas_decode: bool = False):
+        """Run a contiguous span of graph nodes. Returns
+        (x, live cache, state updates, head outputs, rng) — a pure pytree
+        signature so spans can be wrapped in jax.checkpoint."""
+        cache = dict(cache)
+        new_state: Dict[str, dict] = {}
+        outputs = []
+        last_use = self.graph.last_use
+
+        for node in nodes:
             i = node.index
             kind = node.kind
             p = params.get(str(i))
@@ -171,9 +225,7 @@ class Network:
             for j in [j for j in cache if last_use.get(j, -1) <= i and j != i]:
                 del cache[j]
 
-        if not outputs:
-            return x, new_state
-        return outputs, new_state
+        return x, cache, new_state, outputs, rng
 
 
 class DetectionNetwork(Network):
@@ -185,11 +237,12 @@ class DetectionNetwork(Network):
         return self.graph.yolo_nodes[0].attrs['classes']
 
     def apply(self, params, state, x, targets=None, train=False, rng=None,
-              compute_dtype=None, quant_ctx=None, pallas_decode=False):
+              compute_dtype=None, quant_ctx=None, pallas_decode=False,
+              remat_segments=0):
         outputs, new_state = super().apply(
             params, state, x, targets=targets, train=train, rng=rng,
             compute_dtype=compute_dtype, quant_ctx=quant_ctx,
-            pallas_decode=pallas_decode)
+            pallas_decode=pallas_decode, remat_segments=remat_segments)
         if targets is None:
             flat = [o.reshape(o.shape[0], -1, o.shape[-1]) for o in outputs]
             return jnp.concatenate(flat, axis=1), new_state

@@ -85,19 +85,26 @@ def make_train_step(network: DetectionNetwork, optimizer,
     grid labels + padded raw boxes. jit it with shardings from
     parallel.mesh (batch sharded on DATA_AXIS, everything else replicated).
 
-    ``remat`` wraps the forward in jax.checkpoint: activations are
-    rematerialised during the backward pass instead of stored, trading
-    ~1/3 extra forward FLOPs for activation memory — lifts the max
-    single-chip batch/input size (train.remat in config).
+    ``remat`` (int, train.remat in config): activation rematerialisation
+    for the backward pass. N >= 2 splits the graph walk into N
+    jax.checkpoint segments — only segment-boundary activations are
+    stored, segment internals recompute during backward (~1/(N) of the
+    activation footprint for ~1 extra forward of FLOPs) — lifts the max
+    single-chip batch/input size. remat == 1 wraps the WHOLE forward in
+    one jax.checkpoint; measured on v5e this REDUCES the max batch
+    (the backward re-materialises every activation at once) — kept only
+    for comparison.
     """
+    remat_n = int(remat)
 
     def fwd(params, state, image, targets, rng):
         losses, new_state = network.apply(
             params, state, image, targets=targets,
-            train=True, rng=rng, compute_dtype=compute_dtype)
+            train=True, rng=rng, compute_dtype=compute_dtype,
+            remat_segments=remat_n if remat_n > 1 else 0)
         return losses['loss'][0], (losses, new_state)
 
-    if remat:
+    if remat_n == 1:
         fwd = jax.checkpoint(fwd)
 
     def loss_fn(params, state, batch, rng):

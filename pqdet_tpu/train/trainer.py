@@ -148,7 +148,7 @@ class Trainer:
                 self.network, self.optimizer,
                 sparse_ratio=self._sparse_ratio if self._sparse else 0.0,
                 sparse_ids=sparse_ids, compute_dtype=self._compute_dtype,
-                remat=bool(getattr(self.config.train, 'remat', False)))
+                remat=int(getattr(self.config.train, 'remat', 0)))
             self._make_jstep = lambda: _jit(step_fn)
         self.jstep = self._make_jstep()
 

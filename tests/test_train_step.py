@@ -301,8 +301,9 @@ def test_multi_step_unroll_equivalence():
 
 
 def test_remat_step_matches_plain():
-    """remat=True (jax.checkpoint around the forward) must be numerically
-    identical: same loss and same updated params as the plain step."""
+    """remat=1 (whole-forward jax.checkpoint) and remat=4 (segmented graph
+    walk) must be numerically identical to the plain step: same loss and
+    same updated params."""
     net = DetectionNetwork.from_cfg(get_mesh_cfg())
     mesh = make_mesh()
     params, state = net.init(jax.random.PRNGKey(0))
@@ -313,7 +314,7 @@ def test_remat_step_matches_plain():
     rng = jax.random.PRNGKey(3)
 
     results = []
-    for remat in (False, True):
+    for remat in (0, 1, 4):
         step = make_train_step(net, opt, remat=remat)
         jstep = jit_train_step(step, mesh)
         repl = replicated(mesh)
@@ -323,8 +324,9 @@ def test_remat_step_matches_plain():
         p, s, o, m = jstep(p, s, o, b, rng)
         results.append((float(m['loss']), jax.device_get(p)))
 
-    assert results[0][0] == pytest.approx(results[1][0], rel=1e-6)
-    for a, b in zip(jax.tree.leaves(results[0][1]),
-                    jax.tree.leaves(results[1][1])):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-6)
+    for k in (1, 2):
+        assert results[0][0] == pytest.approx(results[k][0], rel=1e-6), k
+        for a, b in zip(jax.tree.leaves(results[0][1]),
+                        jax.tree.leaves(results[k][1])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
