@@ -4,7 +4,10 @@ Mirrors the reference EvalDataset (dataset/eval_dataset.py:11-52): batches
 are assembled directly (no collate), yielding preprocessed image stacks
 plus file names / original shapes / GT boxes / difficult flags. The final
 ragged batch is zero-padded to the full batch size so the jitted forward
-sees one static shape; `count` marks the real rows.
+sees one static shape; `count` marks the real rows. The forward/NMS run
+on the pad rows too and their outputs are discarded by `count` — wasted
+work only on the single tail batch per eval, which is cheaper than a
+second jit specialisation for the remainder shape.
 """
 
 from __future__ import annotations
