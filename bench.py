@@ -67,7 +67,7 @@ def bench_forward(model: str = 'mobilenetv2-fpn', batch_size: int = 1,
 
 
 def bench_quant(model: str = 'mobilenetv2-fpn', mode: str = 'pallas',
-                batch_size: int = 1, reps: int = 8):
+                batch_size: int = 1, reps: int = 8, dw_impl: str = 'pallas'):
     """Quantized-serving latency (same chained-jit methodology).
 
     Builds the net in quant mode, runs one observing forward to calibrate
@@ -96,7 +96,7 @@ def bench_quant(model: str = 'mobilenetv2-fpn', mode: str = 'pallas',
     state = jax.tree.map(np.asarray, state)
     qparams = Int8Inference.prepare(convert_to_int8(net, params, state),
                                     mode=mode)
-    int8 = Int8Inference(net, mode=mode, act=qparams['act'])
+    int8 = Int8Inference(net, mode=mode, act=qparams['act'], dw_impl=dw_impl)
 
     @jax.jit
     def chain(p, x):
@@ -123,8 +123,12 @@ def main():
     variant = sys.argv[2] if len(sys.argv) > 2 else 'fp'
     if variant.startswith('quant'):
         mode = variant.split('-', 1)[1] if '-' in variant else 'pallas'
-        ms = bench_quant(model, mode=mode, batch_size=1)
-        metric = f'{model.replace("-", "_")}_int8_{mode}_forward_ms_bs1_512'
+        dw = 'pallas'
+        if mode == 'xdw':       # pallas executor, XLA unrolled depthwise
+            mode, dw = 'pallas', 'xla'
+        ms = bench_quant(model, mode=mode, batch_size=1, dw_impl=dw)
+        tag = f'{mode}_xdw' if dw == 'xla' else mode
+        metric = f'{model.replace("-", "_")}_int8_{tag}_forward_ms_bs1_512'
     else:
         ms = bench_forward(model, batch_size=1)
         metric = f'{model.replace("-", "_")}_forward_ms_bs1_512'

@@ -154,6 +154,49 @@ def int8_conv(xq: jnp.ndarray, x_scale_zp, wq: jnp.ndarray, w_scale, b,
     return acc.astype(jnp.float32) * (x_scale * w_scale) + b
 
 
+def _xla_dw3x3(xq, wdw, w_scale, b, stride, x_sz, out_edge, act_name,
+               pad_val):
+    """Depthwise 3x3 as 9 unrolled tap-slices + FMAs in plain XLA —
+    everything is elementwise so XLA fuses the whole layer (taps, affine,
+    activation, requant) into one loop fusion. Exact integer semantics:
+    s8 values as f32, offset removed analytically via the per-channel
+    weight sum. Stride 2 uses the same row/column-parity bitcast-view
+    trick as the stem (strided XLA slices lower to gather fusions).
+    """
+    n, h, w, c = xq.shape
+    wf = wdw.astype(jnp.float32)                       # (3, 3, C)
+    x_scale, x_zp = x_sz
+    colsum = jnp.sum(wf, axis=(0, 1))
+    if stride == 1:
+        xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                     constant_values=pad_val)
+        acc = 0.
+        for kh in range(3):
+            for kw in range(3):
+                acc = acc + wf[kh, kw] * \
+                    xp[:, kh:kh + h, kw:kw + w, :].astype(jnp.float32)
+    else:
+        ho, wo = h // 2, w // 2
+        x4 = xq.reshape(n, ho, 2, wo, 2 * c)
+        xe, xo = x4[:, :, 0], x4[:, :, 1]              # (n, ho, wo, 2c)
+        pad_row = jnp.full((n, 1, wo, 2 * c), pad_val, jnp.int8)
+        pad_col = jnp.full((n, ho, 1, c), pad_val, jnp.int8)
+        rows = (jnp.concatenate([pad_row, xo[:, :ho - 1]], axis=1), xe, xo)
+        acc = 0.
+        for kh, R in enumerate(rows):
+            even, odd = R[..., :c], R[..., c:]         # cols 2c / 2c+1
+            prev_odd = jnp.concatenate(
+                [pad_col, R[:, :, :wo - 1, c:]], axis=2)  # col 2c-1
+            for kw, tap in ((0, prev_odd), (1, even), (2, odd)):
+                acc = acc + wf[kh, kw] * tap.astype(jnp.float32)
+    alpha = jnp.float32(x_scale) * w_scale
+    beta = alpha * ((128.0 - jnp.float32(x_zp)) * colsum) + b
+    y = L.apply_activation(act_name, acc * alpha + beta)
+    if out_edge is None:
+        return y
+    return _quant_s8(y, out_edge)
+
+
 class Int8Inference:
     """Quantized graph executor (inference only, NHWC int8 tensors).
 
@@ -184,12 +227,14 @@ class Int8Inference:
     """
 
     def __init__(self, network: DetectionNetwork, mode: str = 'pallas',
-                 act: Dict = None):
+                 act: Dict = None, dw_impl: str = 'pallas'):
         assert mode in ('int', 'dequant', 'pallas')
+        assert dw_impl in ('pallas', 'xla')
         self.network = network
         self.graph = network.graph
         self.mode = mode
         self.act = act
+        self.dw_impl = dw_impl
 
     @staticmethod
     def prepare(qparams: Dict, mode: str = 'pallas') -> Dict:
@@ -309,6 +354,18 @@ class Int8Inference:
                     if pw_ok:
                         y = qconv1x1_s8(xq, p['w2d'], p['w_scale'], p['b'],
                                         p['colsum'], **common)
+                    elif dw_ok and self.dw_impl == 'xla':
+                        if isinstance(cur_sz[1], (int, float)):
+                            pv = np.int8(round(cur_sz[1]) - 128)
+                        else:
+                            pv = (jnp.round(cur_sz[1]) - 128).astype(jnp.int8)
+                        y = _xla_dw3x3(xq, p['wdw'], p['w_scale'], p['b'],
+                                       a['stride'], cur_sz, out_edge,
+                                       a['activation'], pv)
+                        xq, cur_sz = y, out_edge
+                        if i in last_use:
+                            cache[i] = (xq, cur_sz)
+                        continue
                     elif dw_ok:
                         y = qdwconv3x3_s8(xq, p['wdw'], p['w_scale'], p['b'],
                                           stride=a['stride'], **common)
