@@ -91,6 +91,14 @@ def load_quantized(path: str):
     return network, {'layers': layers, 'act': act}
 
 
+def _static_scalar(v) -> bool:
+    """True when an edge qparam is a host scalar that can be baked into the
+    jitted program as a constant (np.floating is NOT a float subclass, so
+    numpy scalars need listing explicitly or they silently take the traced
+    slow path)."""
+    return isinstance(v, (int, float, np.floating))
+
+
 def _quant(x, scale_zp):
     scale, zp = scale_zp
     return jnp.clip(jnp.round(x / scale + zp), 0, 255).astype(jnp.uint8)
@@ -334,7 +342,7 @@ class Int8Inference:
                                                             qconv1x1_s8,
                                                             qdwconv3x3_s8)
                     out_edge = act.get(key)
-                    if isinstance(cur_sz[0], (int, float)):
+                    if _static_scalar(cur_sz[0]):
                         # static edge qparams: bake the SMEM scalar vector
                         # as a jit constant (a runtime fusion otherwise)
                         sc = jnp.asarray(make_scalars(
@@ -355,7 +363,7 @@ class Int8Inference:
                         y = qconv1x1_s8(xq, p['w2d'], p['w_scale'], p['b'],
                                         p['colsum'], **common)
                     elif dw_ok and self.dw_impl == 'xla':
-                        if isinstance(cur_sz[1], (int, float)):
+                        if _static_scalar(cur_sz[1]):
                             pv = np.int8(round(cur_sz[1]) - 128)
                         else:
                             pv = (jnp.round(cur_sz[1]) - 128).astype(jnp.int8)
@@ -377,7 +385,7 @@ class Int8Inference:
                         # space-to-depth first because stride-2 XLA slices
                         # lower to 428us gather fusions each.
                         s = a['stride']
-                        if isinstance(cur_sz[1], (int, float)):
+                        if _static_scalar(cur_sz[1]):
                             pad_val = np.int8(round(cur_sz[1]) - 128)
                         else:
                             pad_val = (jnp.round(cur_sz[1]) - 128

@@ -78,7 +78,7 @@ def resume_schedule_step(opt_state, step: int):
 def make_train_step(network: DetectionNetwork, optimizer,
                     sparse_ratio: float = 0.0,
                     sparse_ids: Optional[Set[str]] = None,
-                    compute_dtype=None, remat: bool = False):
+                    compute_dtype=None, remat: int = 0):
     """Build the pure (params, state, opt_state, batch, rng) -> ... step.
 
     batch: dict with 'image' (B,H,W,3) and 'targets' = 6-tuple of per-scale

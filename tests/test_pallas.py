@@ -172,7 +172,9 @@ def test_qdwconv_multiprogram_halo_rows():
     from pqdet_tpu.ops.pallas_qconv import qdwconv3x3_s8
 
     rng = np.random.RandomState(3)
-    c = 512  # (w+2)*c*4 > 4MB/th budget -> th=4, grid of 4 H-programs
+    c = 512  # f32 window row (w+2)*c*4 > the 1MB budget -> th=1, grid of
+    # 16 H-programs at stride 1 (8 at stride 2): halo rows cross every
+    # program boundary
     xq = rng.randint(0, 256, (1, 16, 256, c)).astype(np.uint8)
     w = rng.randint(-127, 128, (3, 3, 1, c)).astype(np.int8)
     w_scale = (rng.rand(c) * 0.01 + 0.001).astype(np.float32)
@@ -192,4 +194,38 @@ def test_qdwconv_multiprogram_halo_rows():
         assert y.shape == y_ref.shape
         np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-4,
                                    rtol=1e-5)
+
+
+def test_xla_dw3x3_vs_int8_conv_oracle():
+    """The dw_impl='xla' serving path (9 unrolled tap-slice FMAs) must match
+    the XLA int8_conv oracle exactly for both strides, with and without the
+    output requant edge."""
+    from pqdet_tpu.compress.quantized import _quant_s8, _xla_dw3x3, int8_conv
+
+    rng = np.random.RandomState(11)
+    c = 24  # odd lane count vs the 128-lane registers
+    xq = rng.randint(0, 256, (2, 18, 22, c)).astype(np.uint8)
+    w = rng.randint(-127, 128, (3, 3, 1, c)).astype(np.int8)
+    w_scale = (rng.rand(c) * 0.01 + 0.001).astype(np.float32)
+    b = (rng.randn(c) * 0.1).astype(np.float32)
+    xs, xzp = 0.02, 117.0
+    out_edge = (0.04, 7.0)
+    x_s8 = jnp.asarray((xq.astype(np.int16) - 128).astype(np.int8))
+    pad_val = np.int8(round(xzp) - 128)
+
+    for stride in (1, 2):
+        y_ref = int8_conv(jnp.asarray(xq), (xs, xzp), jnp.asarray(w),
+                          jnp.asarray(w_scale), jnp.asarray(b), stride, 1, c)
+        y_ref = np.asarray(jnp.where(y_ref > 0, y_ref, 0.1 * y_ref))
+        y = _xla_dw3x3(x_s8, jnp.asarray(w.reshape(3, 3, c)),
+                       jnp.asarray(w_scale), jnp.asarray(b), stride,
+                       (xs, xzp), None, 'leaky', pad_val)
+        assert y.shape == y_ref.shape
+        np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-4, rtol=1e-5)
+
+        q = _xla_dw3x3(x_s8, jnp.asarray(w.reshape(3, 3, c)),
+                       jnp.asarray(w_scale), jnp.asarray(b), stride,
+                       (xs, xzp), out_edge, 'leaky', pad_val)
+        q_ref = np.asarray(_quant_s8(jnp.asarray(y_ref), out_edge))
+        np.testing.assert_array_equal(np.asarray(q), q_ref)
 
