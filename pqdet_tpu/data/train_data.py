@@ -24,7 +24,6 @@ import numpy as np
 
 from pqdet_tpu.config import sizes_fix
 from pqdet_tpu.data.samples import SAMPLE_GETTER_REGISTER
-from pqdet_tpu.ops.boxes import iou_xywh_np
 
 
 def smooth_onehot(num_classes: int, index: int, deta: float = 0.01) -> np.ndarray:
@@ -45,56 +44,81 @@ def assign_labels(bboxes: np.ndarray, input_size: Tuple[int, int],
     Assignment parity with reference create_label (train_dataset.py:109-150):
     per GT box, anchors at the box's center cell with IoU(wh) > threshold
     get it (argmax fallback when none clear the bar).
+
+    Vectorised over boxes (the per-box Python loop cost ~0.4 ms for a
+    crowded 24-box image and holds the GIL, starving the thread-pool
+    loader; see tests/test_data.py::test_assign_labels_vectorised_parity
+    for the loop-equivalence proof incl. the later-box-wins overwrite
+    order at contended cells).
     """
+    A = gt_per_grid
+    S = len(strides)
     out_sizes = [(input_size[0] // s, input_size[1] // s) for s in strides]
-    labels = [np.zeros((h, w, gt_per_grid, 6 + num_classes), np.float32)
+    labels = [np.zeros((h, w, A, 6 + num_classes), np.float32)
               for h, w in out_sizes]
     for lab in labels:
         lab[..., -1] = 1.0  # default mixup weight
-    raw = [[] for _ in strides]
 
-    for bbox in bboxes:
-        coor = bbox[:4]
-        cls_idx = int(bbox[4])
-        mixw = bbox[5]
-        xywh = np.concatenate([(coor[2:] + coor[:2]) * 0.5,
-                               coor[2:] - coor[:2]])
-        onehot = smooth_onehot(num_classes, cls_idx)
+    bboxes = np.asarray(bboxes, np.float32).reshape(-1, 6)
+    n = len(bboxes)
+    padded = [np.zeros((max_gt, 4), np.float32) for _ in range(S)]
+    if n == 0:
+        return labels, padded
 
-        # center cell per scale + anchor IoU in (cx, cy, w, h) space
-        xy_idx = (xywh[:2][:, None] // strides).astype(np.int32).T  # (S, 2)
-        centers = (xy_idx.astype(np.float32) + 0.5) * strides[:, None]
-        anchor_boxes = np.concatenate(
-            [np.repeat(centers, gt_per_grid, axis=0), anchors], axis=-1)
-        ious = iou_xywh_np(xywh, anchor_boxes)
-        mask = ious > iou_threshold
-        if not mask.any():
-            mask[ious.argmax()] = True
+    coor = bboxes[:, :4]
+    cls_idx = bboxes[:, 4].astype(np.int32)
+    mixw = bboxes[:, 5]
+    cxy = (coor[:, 2:] + coor[:, :2]) * 0.5                      # (N, 2)
+    wh = coor[:, 2:] - coor[:, :2]                               # (N, 2)
 
-        entry = np.concatenate([coor, [1.0], onehot, [mixw]])
-        scales_hit = set()
-        for i in np.nonzero(mask)[0]:
-            scale, anchor = divmod(i, gt_per_grid)
-            x, y = xy_idx[scale]
-            h, w = out_sizes[scale]
-            if 0 <= y < h and 0 <= x < w:
-                labels[scale][y, x, anchor, :] = entry
-                scales_hit.add(scale)
-        # the raw box enters each scale's ignore list once (the reference
-        # appends per matched anchor, duplicating up to gt_per_grid times —
-        # duplicates don't change the max-IoU mask, they only waste slots)
-        for scale in scales_hit:
-            raw[scale].append(coor)
+    # label smoothing (reference train_dataset.py:126-130)
+    deta = 0.01
+    onehot = np.full((n, num_classes), deta / num_classes, np.float32)
+    onehot[np.arange(n), cls_idx] += 1.0 - deta
 
-    padded = []
+    strides_f = np.asarray(strides, np.float32)
+    xy_idx = np.floor(cxy[:, None, :] / strides_f[None, :, None]
+                      ).astype(np.int32)                         # (N, S, 2)
+    centers = (xy_idx.astype(np.float32) + 0.5) * strides_f[None, :, None]
+
+    # IoU(box, anchor-at-center) in (cx, cy, w, h) space, all pairs at once
+    a_cxy = np.repeat(centers, A, axis=1)                        # (N, S*A, 2)
+    a_wh = np.broadcast_to(np.asarray(anchors, np.float32)[None],
+                           (n, S * A, 2))
+    b_min = cxy[:, None] - wh[:, None] * 0.5
+    b_max = cxy[:, None] + wh[:, None] * 0.5
+    a_min = a_cxy - a_wh * 0.5
+    a_max = a_cxy + a_wh * 0.5
+    inter = np.prod(np.clip(np.minimum(b_max, a_max)
+                            - np.maximum(b_min, a_min), 0, None), axis=-1)
+    union = (wh[:, 0] * wh[:, 1])[:, None] + a_wh[..., 0] * a_wh[..., 1] \
+        - inter
+    ious = inter / np.maximum(union, 1e-12)                      # (N, S*A)
+
+    mask = ious > iou_threshold
+    none_hit = ~mask.any(axis=1)
+    mask[none_hit, ious[none_hit].argmax(axis=1)] = True
+
+    entries = np.concatenate([coor, np.ones((n, 1), np.float32), onehot,
+                              mixw[:, None]], axis=1)            # (N, 6+C)
+
     truncated = 0
-    for boxes in raw:
-        arr = np.zeros((max_gt, 4), np.float32)
-        if boxes:
-            truncated += max(len(boxes) - max_gt, 0)
-            stacked = np.stack(boxes)[:max_gt]
-            arr[:len(stacked)] = stacked
-        padded.append(arr)
+    for s in range(S):
+        h, w = out_sizes[s]
+        x, y = xy_idx[:, s, 0], xy_idx[:, s, 1]
+        in_bounds = (0 <= y) & (y < h) & (0 <= x) & (x < w)
+        m = mask[:, s * A:(s + 1) * A] & in_bounds[:, None]      # (N, A)
+        bi, ai = np.nonzero(m)   # row-major: ascending box order ->
+        # duplicate (y, x, anchor) cells resolve LAST-box-wins, matching
+        # the sequential loop's overwrite order
+        if len(bi):
+            labels[s][y[bi], x[bi], ai] = entries[bi]
+        hit = m.any(axis=1)
+        nb = int(hit.sum())
+        if nb:
+            truncated += max(nb - max_gt, 0)
+            keep = coor[hit][:max_gt]
+            padded[s][:len(keep)] = keep
     if truncated and not getattr(assign_labels, '_warned', False):
         assign_labels._warned = True
         import warnings

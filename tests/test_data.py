@@ -207,3 +207,111 @@ def test_mosaic_enabled_pipeline(voc_cfg):
     # mixup weight column filled
     for lab in labels:
         assert (lab[..., -1] != 0).all()
+
+
+def test_synth_clutter_generator(tmp_path):
+    """The discriminative benchmark generator emits a valid VOC layout that
+    the train pipeline consumes: 20 classes, crowding, occlusion capped at
+    partial visibility (no fully-buried boxes)."""
+    from pqdet_tpu.data.scripts.synth_clutter import CLASSES as CC
+    from pqdet_tpu.data.scripts.synth_clutter import _coverage, generate
+
+    assert len(CC) == 20
+    root = str(tmp_path / 'clutter')
+    paths = generate(root, n=6, size=160, seed=0)
+    assert len(paths) == 6
+    assert os.path.exists(os.path.join(root, 'train.txt'))
+
+    cfg = load_config(opts=[
+        'dataset.train_txt_file', os.path.join(root, 'train.txt'),
+        'dataset.classes', '[' + ', '.join(CC) + ']',
+        'train.batch_size', '2',
+        'train.input_sizes', '[96]',
+        'model.max_gt_boxes', '32',
+    ])
+    data = TrainData(cfg)
+    batch = next(iter(epoch_batches(data, num_workers=2)))
+    assert batch['image'].shape[0] == 2
+    assert batch['image'].shape[-1] == 3
+    assert np.isfinite(batch['image']).all()
+    # some scale has at least one positive assignment across the batch
+    assert sum(float(t[..., 4:5].sum()) for t in batch['targets'][:3]) > 0
+
+    # a fully-buried box must be caught by the coverage test
+    assert _coverage((0, 0, 100, 100), (10, 10, 20, 20)) == 1.0
+
+
+def _assign_labels_loop(bboxes, input_size, strides, anchors, num_classes,
+                        gt_per_grid=3, iou_threshold=0.3, max_gt=64):
+    """The original sequential per-box implementation, kept verbatim as the
+    parity oracle for the vectorised assign_labels (reference
+    train_dataset.py:109-150 semantics incl. later-box-wins overwrites)."""
+    from pqdet_tpu.ops.boxes import iou_xywh_np
+
+    out_sizes = [(input_size[0] // s, input_size[1] // s) for s in strides]
+    labels = [np.zeros((h, w, gt_per_grid, 6 + num_classes), np.float32)
+              for h, w in out_sizes]
+    for lab in labels:
+        lab[..., -1] = 1.0
+    raw = [[] for _ in strides]
+    for bbox in bboxes:
+        coor = bbox[:4]
+        cls_idx = int(bbox[4])
+        mixw = bbox[5]
+        xywh = np.concatenate([(coor[2:] + coor[:2]) * 0.5,
+                               coor[2:] - coor[:2]])
+        onehot = smooth_onehot(num_classes, cls_idx)
+        xy_idx = (xywh[:2][:, None] // strides).astype(np.int32).T
+        centers = (xy_idx.astype(np.float32) + 0.5) * strides[:, None]
+        anchor_boxes = np.concatenate(
+            [np.repeat(centers, gt_per_grid, axis=0), anchors], axis=-1)
+        ious = iou_xywh_np(xywh, anchor_boxes)
+        mask = ious > iou_threshold
+        if not mask.any():
+            mask[ious.argmax()] = True
+        entry = np.concatenate([coor, [1.0], onehot, [mixw]])
+        scales_hit = set()
+        for i in np.nonzero(mask)[0]:
+            scale, anchor = divmod(i, gt_per_grid)
+            x, y = xy_idx[scale]
+            h, w = out_sizes[scale]
+            if 0 <= y < h and 0 <= x < w:
+                labels[scale][y, x, anchor, :] = entry
+                scales_hit.add(scale)
+        for scale in scales_hit:
+            raw[scale].append(coor)
+    padded = []
+    for boxes in raw:
+        arr = np.zeros((max_gt, 4), np.float32)
+        if boxes:
+            stacked = np.stack(boxes)[:max_gt]
+            arr[:len(stacked)] = stacked
+        padded.append(arr)
+    return labels, padded
+
+
+def test_assign_labels_vectorised_parity():
+    """Vectorised assign_labels == the sequential loop bit-for-bit over
+    crowded random scenes (contended cells exercise the later-box-wins
+    overwrite order; tiny/huge boxes exercise the argmax fallback and
+    out-of-bounds centers)."""
+    strides = np.array([8, 16, 32])
+    anchors = np.array([[10, 13], [16, 30], [33, 23], [30, 61], [62, 45],
+                        [59, 119], [116, 90], [156, 198], [373, 326]],
+                       np.float32)
+    nc = 7
+    rng = np.random.RandomState(5)
+    for trial in range(12):
+        n = rng.randint(0, 40)
+        size = (rng.choice([320, 416]), rng.choice([320, 416]))
+        cxy = rng.rand(n, 2) * np.array(size)[::-1] * 1.05 - 5  # some OOB
+        wh = np.exp(rng.uniform(np.log(2), np.log(300), (n, 2)))
+        boxes = np.concatenate([
+            cxy - wh / 2, cxy + wh / 2,
+            rng.randint(0, nc, (n, 1)).astype(np.float64),
+            rng.rand(n, 1)], axis=1).astype(np.float32)
+        la, pa = assign_labels(boxes, size, strides, anchors, nc, max_gt=24)
+        lb, pb = _assign_labels_loop(boxes, size, strides, anchors, nc,
+                                     max_gt=24)
+        for a, b in zip(la + pa, lb + pb):
+            np.testing.assert_array_equal(a, b)
