@@ -17,7 +17,8 @@ import time
 import numpy as np
 
 
-def _setup(batch_size, size, remat=False):
+def _setup(batch_size, size, remat=0, model='mobilenetv2-fpn',
+           dense_groups=True):
     import jax
     import jax.numpy as jnp
     from pqdet_tpu.model.network import DetectionNetwork
@@ -27,11 +28,12 @@ def _setup(batch_size, size, remat=False):
                                       make_train_step)
     from pqdet_tpu.zoo import get_cfg
 
-    net = DetectionNetwork.from_cfg(get_cfg('mobilenetv2-fpn'))
+    net = DetectionNetwork.from_cfg(get_cfg(model))
     params, state = net.init(jax.random.PRNGKey(0))
     opt = make_optimizer(cosine_warmup(2e-4, 1e-6, 500, 50000))
     opt_state = opt.init(params)
-    step = make_train_step(net, opt, compute_dtype=jnp.bfloat16, remat=remat)
+    step = make_train_step(net, opt, compute_dtype=jnp.bfloat16, remat=remat,
+                           dense_groups=dense_groups)
     mesh = make_mesh()
     jstep = jit_train_step(step, mesh)
 
@@ -90,6 +92,95 @@ def remat_probe():
         print(f'remat={remat}: max bs @608 = {fitted}')
 
 
+# reference train s/epoch on 2x1080 Ti, 16551 VOC trainval images, bs 16x2
+# (README.md:105-108) -> imgs/s for the vs_ref column
+REF_EPOCH_S = {'mobilenetv2-fpn': 187, 'regnetx-600m-fpn': 163,
+               'regnetx-600m-pan': 152, 'regnety-400m-fpn': 192}
+VOC_TRAIN_IMGS = 16551
+
+
+def _time_steps(jstep, carry, batch, n=20):
+    import jax
+    params, state, opt_state = carry
+    rngs = jax.random.split(jax.random.PRNGKey(1), n + 1)
+    params, state, opt_state, m = jstep(params, state, opt_state, batch,
+                                        rngs[0])
+    jax.block_until_ready(m['loss'])  # compile + warmup
+    t0 = time.perf_counter()
+    for i in range(n):
+        params, state, opt_state, m = jstep(params, state, opt_state,
+                                            batch, rngs[i + 1])
+    jax.block_until_ready(m['loss'])
+    return (time.perf_counter() - t0) / n
+
+
+def zoo(bs=16, models=None, dense_ab=False):
+    """Train-step throughput for every zoo model (VERDICT r2 item 2).
+
+    dense_ab additionally times the RegNets with dense_groups=False —
+    the raw feature_group_count path — to quantify the train-time
+    block-diagonal densification win."""
+    models = models or list(REF_EPOCH_S)
+    for model in models:
+        variants = [('dense', True)]
+        if dense_ab and 'regnet' in model:
+            variants.append(('grouped', False))
+        for tag, dense in variants:
+            jstep, carry, batch = _setup(bs, 512, model=model,
+                                         dense_groups=dense)
+            dt = _time_steps(jstep, carry, batch)
+            ref_rate = VOC_TRAIN_IMGS / REF_EPOCH_S[model]
+            rate = bs / dt
+            print(f'{model:18s} [{tag:7s}] bs={bs} @512 bf16: '
+                  f'{dt * 1e3:6.1f} ms/step ({rate:5.0f} imgs/s, '
+                  f'{rate / ref_rate:4.1f}x ref {ref_rate:.0f} imgs/s, '
+                  f'epoch ~{VOC_TRAIN_IMGS / rate:.0f}s vs '
+                  f'{REF_EPOCH_S[model]}s)', flush=True)
+
+
+def profile(model='mobilenetv2-fpn', bs=32):
+    """Per-op device-time breakdown of one train step (fwd+bwd+opt) from a
+    jax.profiler trace (VERDICT r2 item 5)."""
+    import jax
+    from tools.tpuprof import profile_device_ops
+
+    jstep, carry, batch = _setup(bs, 512, model=model)
+    params, state, opt_state = carry
+    rngs = jax.random.split(jax.random.PRNGKey(1), 9)
+    params, state, opt_state, m = jstep(params, state, opt_state, batch,
+                                        rngs[0])
+    jax.block_until_ready(m['loss'])
+
+    def run():
+        p, s, o = params, state, opt_state
+        last = None
+        for i in range(8):
+            p, s, o, last = jstep(p, s, o, batch, rngs[i + 1])
+        jax.block_until_ready(last['loss'])
+
+    rows, total = profile_device_ops(run)
+    print(f'{model} bs={bs} train step: device {total / 8e3:.2f} ms/step')
+    print('-- by category:')
+    for r in rows[:18]:
+        print(f'  {r["total_us"] / 8:9.1f} us/step x{r["count"]:5d}  '
+              f'{r["name"][:70]}')
+    instrs = []
+    for r in rows:
+        for iname, us in r.get('long_names', {}).items():
+            instrs.append((us, r.get('samples', {}).get(iname, iname)))
+    instrs.sort(key=lambda t: -t[0])
+    print('-- top 30 instructions:')
+    for us, sample in instrs[:30]:
+        print(f'  {us / 8:9.1f} us/step  {sample[:200]}')
+
+
 if __name__ == '__main__':
     mode = sys.argv[1] if len(sys.argv) > 1 else 'throughput'
-    {'throughput': throughput, 'remat': remat_probe}[mode]()
+    if mode == 'zoo':
+        zoo(bs=int(sys.argv[2]) if len(sys.argv) > 2 else 16,
+            dense_ab='--ab' in sys.argv)
+    elif mode == 'profile':
+        profile(model=sys.argv[2] if len(sys.argv) > 2 else 'mobilenetv2-fpn',
+                bs=int(sys.argv[3]) if len(sys.argv) > 3 else 32)
+    else:
+        {'throughput': throughput, 'remat': remat_probe}[mode]()

@@ -84,19 +84,42 @@ def init_linear(key, in_features: int, out_features: int) -> dict:
 
 # ------------------------------------------------------------------ forwards
 
+def densify_grouped_weight(w, groups: int):
+    """Compact grouped HWIO weights (kh, kw, cin/g, cout) -> block-diagonal
+    dense (kh, kw, cin, cout), as a differentiable trace-time op.
+
+    The expansion is an eye-mask broadcast, so under autodiff the weight
+    gradient contracts back onto the blocks exactly (off-block entries get
+    zero gradient) — training on dense weights is function- and
+    gradient-identical to the grouped conv while the MXU runs at full tile
+    occupancy instead of ~0.7 TFLOP/s (measured, STATUS round 2).
+    """
+    kh, kw, cin_g, cout = w.shape
+    cpg = cout // groups
+    w6 = w.reshape(kh, kw, 1, cin_g, groups, cpg)
+    eye = jnp.eye(groups, dtype=w.dtype).reshape(1, 1, groups, 1, groups, 1)
+    return (w6 * eye).reshape(kh, kw, cin_g * groups, cout)
+
+
 def conv2d(x, w, b=None, stride: int = 1, padding: int = 0, groups: int = 1,
-           compute_dtype=None):
+           compute_dtype=None, dense_groups: bool = True):
     """2-D convolution, NHWC x HWIO -> NHWC.
 
     Grouped/depthwise convs map to ``feature_group_count`` which XLA lowers
     onto the MXU directly (the reference leans on cuDNN for this,
-    model/parser.py:393-401).
+    model/parser.py:393-401) — EXCEPT grouped convs with group width >= 2
+    (RegNets), which are expanded to block-diagonal dense weights at trace
+    time (``dense_groups``): group widths of 8-48 leave the systolic array
+    mostly idle and the dense FLOPs are free by comparison. Depthwise convs
+    (width 1) stay grouped — C x dense waste, and XLA's depthwise path is
+    bandwidth-bound anyway.
     """
     if groups > 1 and w.shape[2] == x.shape[-1]:
-        # block-diagonal DENSE weights (network.densify_grouped_convs): run
-        # as one dense MXU conv. Grouped convs with small group widths
-        # leave the systolic array mostly idle; the dense FLOPs are free by
-        # comparison (regnety-400m grouped stack: ~13 GFLOP ~= 130us MXU)
+        # already block-diagonal DENSE weights (network.densify_grouped_convs
+        # at inference-param build): run as one dense MXU conv
+        groups = 1
+    elif dense_groups and groups > 1 and w.shape[2] >= 2:
+        w = densify_grouped_weight(w, groups)
         groups = 1
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

@@ -67,7 +67,8 @@ class Network:
     def apply(self, params: Dict, state: Dict, x: jnp.ndarray,
               targets: Optional[tuple] = None, train: bool = False,
               rng=None, compute_dtype=None, quant_ctx=None,
-              pallas_decode: bool = False, remat_segments: int = 0):
+              pallas_decode: bool = False, remat_segments: int = 0,
+              dense_groups: bool = True):
         """Run the graph. Returns (outputs, new_state).
 
         ``outputs`` is the list of yolo-head results (decoded preds in
@@ -107,7 +108,8 @@ class Network:
                 seg = functools.partial(
                     self._walk, nodes, params, state, targets=targets,
                     train=train, compute_dtype=compute_dtype,
-                    quant_ctx=None, pallas_decode=pallas_decode)
+                    quant_ctx=None, pallas_decode=pallas_decode,
+                    dense_groups=dense_groups)
                 x, cache, updates, outs, rng = jax.checkpoint(seg)(
                     x, cache, rng)
                 new_state.update(updates)
@@ -122,7 +124,7 @@ class Network:
         x, _, updates, outputs, _ = self._walk(
             self.graph.nodes, params, state, x, {}, rng, targets=targets,
             train=train, compute_dtype=compute_dtype, quant_ctx=quant_ctx,
-            pallas_decode=pallas_decode)
+            pallas_decode=pallas_decode, dense_groups=dense_groups)
         new_state.update(updates)
         if not outputs:
             return x, new_state
@@ -130,7 +132,8 @@ class Network:
 
     def _walk(self, nodes, params: Dict, state: Dict, x, cache: Dict,
               rng, targets=None, train: bool = False, compute_dtype=None,
-              quant_ctx=None, pallas_decode: bool = False):
+              quant_ctx=None, pallas_decode: bool = False,
+              dense_groups: bool = True):
         """Run a contiguous span of graph nodes. Returns
         (x, live cache, state updates, head outputs, rng) — a pure pytree
         signature so spans can be wrapped in jax.checkpoint."""
@@ -149,7 +152,8 @@ class Network:
                 w = p['w'] if quant_ctx is None else quant_ctx.fake_weights(str(i), p['w'])
                 x = L.conv2d(x, w, p.get('b'), stride=a['stride'],
                              padding=padding, groups=a['groups'],
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype,
+                             dense_groups=dense_groups)
                 if 'bn' in p:
                     x, bn_s = L.batch_norm(x, p['bn'], state[str(i)], train)
                     if train:
@@ -238,11 +242,12 @@ class DetectionNetwork(Network):
 
     def apply(self, params, state, x, targets=None, train=False, rng=None,
               compute_dtype=None, quant_ctx=None, pallas_decode=False,
-              remat_segments=0):
+              remat_segments=0, dense_groups=True):
         outputs, new_state = super().apply(
             params, state, x, targets=targets, train=train, rng=rng,
             compute_dtype=compute_dtype, quant_ctx=quant_ctx,
-            pallas_decode=pallas_decode, remat_segments=remat_segments)
+            pallas_decode=pallas_decode, remat_segments=remat_segments,
+            dense_groups=dense_groups)
         if targets is None:
             flat = [o.reshape(o.shape[0], -1, o.shape[-1]) for o in outputs]
             return jnp.concatenate(flat, axis=1), new_state

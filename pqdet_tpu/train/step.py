@@ -78,7 +78,8 @@ def resume_schedule_step(opt_state, step: int):
 def make_train_step(network: DetectionNetwork, optimizer,
                     sparse_ratio: float = 0.0,
                     sparse_ids: Optional[Set[str]] = None,
-                    compute_dtype=None, remat: int = 0):
+                    compute_dtype=None, remat: int = 0,
+                    dense_groups: bool = True):
     """Build the pure (params, state, opt_state, batch, rng) -> ... step.
 
     batch: dict with 'image' (B,H,W,3) and 'targets' = 6-tuple of per-scale
@@ -101,7 +102,8 @@ def make_train_step(network: DetectionNetwork, optimizer,
         losses, new_state = network.apply(
             params, state, image, targets=targets,
             train=True, rng=rng, compute_dtype=compute_dtype,
-            remat_segments=remat_n if remat_n > 1 else 0)
+            remat_segments=remat_n if remat_n > 1 else 0,
+            dense_groups=dense_groups)
         return losses['loss'][0], (losses, new_state)
 
     if remat_n == 1:

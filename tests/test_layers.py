@@ -153,3 +153,49 @@ def test_densify_grouped_convs_preserves_function():
     out, _ = net.apply(dense, {}, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_train_time_dense_groups_function_and_grad_parity():
+    """conv2d's trace-time block-diagonal expansion of compact grouped
+    weights (dense_groups=True, the training path for RegNets) matches the
+    feature_group_count conv exactly — forward AND weight/input gradients
+    (the eye-mask expansion contracts the dense grad back onto the blocks)."""
+    import jax
+    from pqdet_tpu.model.layers import conv2d, densify_grouped_weight
+
+    rng = np.random.RandomState(7)
+    groups, cin, cout = 4, 24, 40
+    w = jnp.asarray(rng.randn(3, 3, cin // groups, cout) * 0.1, jnp.float32)
+    x = jnp.asarray(rng.randn(2, 14, 14, cin), jnp.float32)
+
+    dense_w = densify_grouped_weight(w, groups)
+    assert dense_w.shape == (3, 3, cin, cout)
+
+    def f_grouped(w_, x_):
+        y = conv2d(x_, w_, stride=1, padding=1, groups=groups,
+                   dense_groups=False)
+        return jnp.sum(jnp.tanh(y)), y
+
+    def f_dense(w_, x_):
+        y = conv2d(x_, w_, stride=1, padding=1, groups=groups,
+                   dense_groups=True)
+        return jnp.sum(jnp.tanh(y)), y
+
+    (l0, y0), g0 = jax.value_and_grad(f_grouped, argnums=(0, 1),
+                                      has_aux=True)(w, x)
+    (l1, y1), g1 = jax.value_and_grad(f_dense, argnums=(0, 1),
+                                      has_aux=True)(w, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-5)
+    assert g1[0].shape == w.shape  # grad is in COMPACT grouped form
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g0[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g0[1]),
+                               rtol=1e-4, atol=1e-5)
+
+    # depthwise (group width 1) must NOT expand
+    wd = jnp.asarray(rng.randn(3, 3, 1, cin) * 0.1, jnp.float32)
+    yd0 = conv2d(x, wd, stride=1, padding=1, groups=cin, dense_groups=False)
+    yd1 = conv2d(x, wd, stride=1, padding=1, groups=cin, dense_groups=True)
+    np.testing.assert_allclose(np.asarray(yd1), np.asarray(yd0),
+                               rtol=1e-6, atol=1e-6)
