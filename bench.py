@@ -67,7 +67,7 @@ def bench_forward(model: str = 'mobilenetv2-fpn', batch_size: int = 1,
 
 
 def bench_quant(model: str = 'mobilenetv2-fpn', mode: str = 'pallas',
-                batch_size: int = 1, reps: int = 8, dw_impl: str = 'pallas'):
+                batch_size: int = 1, reps: int = 8, dw_impl: str = 'auto'):
     """Quantized-serving latency (same chained-jit methodology).
 
     Builds the net in quant mode, runs one observing forward to calibrate
@@ -95,7 +95,7 @@ def bench_quant(model: str = 'mobilenetv2-fpn', mode: str = 'pallas',
     state = {**state, 'quant': jax.device_get(observe_fwd(params, state, xc))}
     state = jax.tree.map(np.asarray, state)
     qparams = Int8Inference.prepare(convert_to_int8(net, params, state),
-                                    mode=mode)
+                                    mode=mode, network=net)
     int8 = Int8Inference(net, mode=mode, act=qparams['act'], dw_impl=dw_impl)
 
     @jax.jit
@@ -121,19 +121,22 @@ def bench_quant(model: str = 'mobilenetv2-fpn', mode: str = 'pallas',
 def main():
     model = sys.argv[1] if len(sys.argv) > 1 else 'mobilenetv2-fpn'
     variant = sys.argv[2] if len(sys.argv) > 2 else 'fp'
+    bs = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     if variant.startswith('quant'):
         mode = variant.split('-', 1)[1] if '-' in variant else 'pallas'
-        dw = 'pallas'
+        dw = 'auto'
         if mode == 'xdw':       # pallas executor, XLA unrolled depthwise
             mode, dw = 'pallas', 'xla'
-        ms = bench_quant(model, mode=mode, batch_size=1, dw_impl=dw)
-        tag = f'{mode}_xdw' if dw == 'xla' else mode
-        metric = f'{model.replace("-", "_")}_int8_{tag}_forward_ms_bs1_512'
+        elif mode == 'pdw':     # force the Pallas dw kernel everywhere
+            mode, dw = 'pallas', 'pallas'
+        ms = bench_quant(model, mode=mode, batch_size=bs, dw_impl=dw)
+        tag = {'xla': f'{mode}_xdw', 'pallas': f'{mode}_pdw'}.get(dw, mode)
+        metric = f'{model.replace("-", "_")}_int8_{tag}_forward_ms_bs{bs}_512'
     else:
-        ms = bench_forward(model, batch_size=1)
-        metric = f'{model.replace("-", "_")}_forward_ms_bs1_512'
+        ms = bench_forward(model, batch_size=bs)
+        metric = f'{model.replace("-", "_")}_forward_ms_bs{bs}_512'
     out = {'metric': metric, 'value': round(ms, 3), 'unit': 'ms'}
-    if model in BASELINES_MS:
+    if model in BASELINES_MS and bs == 1:
         out['vs_baseline'] = round(BASELINES_MS[model] / ms, 3)
     print(json.dumps(out))
 

@@ -112,7 +112,8 @@ def _make_predict(args, cfg):
         run = build_predict_pipeline(network, cfg,
                                      apply_fn=lambda p, x: int8.apply(p, x))
         return make_batch_predict(run, Int8Inference.prepare(
-            qparams, mode='int' if args.int8_exact else 'pallas'))
+            qparams, mode='int' if args.int8_exact else 'pallas',
+            network=network))
 
     from pqdet_tpu.config import resolve_model_cfg
     from pqdet_tpu.model.factory import build_detector, inference_params

@@ -205,6 +205,77 @@ def _xla_dw3x3(xq, wdw, w_scale, b, stride, x_sz, out_edge, act_name,
     return _quant_s8(y, out_edge)
 
 
+def _native_dw3x3(xq, wdw, w_scale, b, stride, x_sz, out_edge, act_name,
+                  pad_val):
+    """Depthwise 3x3 through XLA's NATIVE conv on RECENTRED-INTEGER-valued
+    bf16 tensors — exact integer semantics: s8 values are exact in bf16
+    (8-bit mantissa holds |v| <= 255) and the MXU accumulates in f32, so
+    every product/sum stays exact (|acc| <= 9*127*127 << 2^24). The affine
+    offset is removed analytically via the per-channel weight sum, and the
+    requant epilogue fuses into the conv's consumer. XLA's dw lowering
+    beats a VPU tap kernel at C >= ~96 (measured per-shape, STATUS r3).
+    """
+    c = xq.shape[-1]
+    x_scale, x_zp = x_sz
+    wf = wdw.astype(jnp.bfloat16).reshape(3, 3, 1, c)
+    xf = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                 constant_values=pad_val).astype(jnp.bfloat16)
+    acc = jax.lax.conv_general_dilated(
+        xf, wf, window_strides=(stride, stride), padding=((0, 0), (0, 0)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'), feature_group_count=c,
+        preferred_element_type=jnp.float32)
+    colsum = jnp.sum(wdw.astype(jnp.float32), axis=(0, 1))
+    alpha = jnp.float32(x_scale) * w_scale
+    beta = alpha * ((128.0 - jnp.float32(x_zp)) * colsum) + b
+    y = L.apply_activation(act_name, acc * alpha + beta)
+    if out_edge is None:
+        return y
+    return _quant_s8(y, out_edge)
+
+
+def _native_conv3x3(xq, w_bf16, w_scale, b, colsum, stride, x_sz, out_edge,
+                    act_name, pad_val, groups: int = 1):
+    """Dense 3x3 conv through XLA's native conv on RECENTRED-INTEGER-valued
+    bf16 tensors (exact like _native_dw3x3 whenever the per-output-channel
+    count of NONZERO weights is <= 115: every partial sum stays < 2^24, and
+    zero products add no rounding). Used for the small-Cin stem and for
+    block-diagonal-densified grouped convs (RegNet group widths <= 48).
+
+    Three Pallas formulations of the stem were tried and are Mosaic-blocked
+    (round 3): lane-axis tpu.concatenate rejects mismatched sublane
+    offsets; a 5-D (..., 9, cin) block pads to full (32, 128) int8 tiles
+    (416 MB scoped VMEM); lane-slice stores into a 27-lane block hang the
+    compiler; and any (..., cin=3)-lane f32 value spills 42x registers.
+    The XLA conv hits the MXU directly and fuses the requant epilogue.
+    """
+    x_scale, x_zp = x_sz
+    xf = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                 constant_values=pad_val).astype(jnp.bfloat16)
+    acc = jax.lax.conv_general_dilated(
+        xf, w_bf16, window_strides=(stride, stride), padding=((0, 0), (0, 0)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32)
+    alpha = jnp.float32(x_scale) * w_scale
+    beta = alpha * ((128.0 - jnp.float32(x_zp)) * colsum) + b
+    y = L.apply_activation(act_name, acc * alpha + beta)
+    if out_edge is None:
+        return y
+    return _quant_s8(y, out_edge)
+
+
+def _densify_int8_weight(wq: np.ndarray, groups: int) -> np.ndarray:
+    """Compact grouped int8 HWIO weights -> block-diagonal dense, host-side
+    (the int8 analogue of model.layers.densify_grouped_weight)."""
+    kh, kw, cin_g, cout = wq.shape
+    dense = np.zeros((kh, kw, cin_g * groups, cout), wq.dtype)
+    cpg = cout // groups
+    for g in range(groups):
+        dense[:, :, g * cin_g:(g + 1) * cin_g, g * cpg:(g + 1) * cpg] = \
+            wq[..., g * cpg:(g + 1) * cpg]
+    return dense
+
+
 class Int8Inference:
     """Quantized graph executor (inference only, NHWC int8 tensors).
 
@@ -235,62 +306,92 @@ class Int8Inference:
     """
 
     def __init__(self, network: DetectionNetwork, mode: str = 'pallas',
-                 act: Dict = None, dw_impl: str = 'pallas'):
+                 act: Dict = None, dw_impl: str = 'auto'):
         assert mode in ('int', 'dequant', 'pallas')
-        assert dw_impl in ('pallas', 'xla')
+        assert dw_impl in ('auto', 'pallas', 'xla')
         self.network = network
         self.graph = network.graph
         self.mode = mode
         self.act = act
         self.dw_impl = dw_impl
 
+    def _dw_impl(self, x_shape, stride: int) -> str:
+        """Resolve dw_impl='auto' per traced layer shape (batch, h, w, c).
+
+        Per-shape policy from the tools/microbench_dw.py trace A/B on v5e
+        (bs=16, device us/layer; STATUS round 3): the Pallas VPU kernel
+        loses badly at batch — misaligned sublane tap slices force full
+        relayout copies (256^2 c32: 2.8 ms vs 445 us for the unrolled-XLA
+        fusion). 'xla' (9 unrolled tap FMAs) wins high-res stride-1
+        layers; 'native' (exact-int bf16 lax.conv, MXU) wins every
+        stride-2 shape and everything at h < 128. At bs < 8 the Pallas
+        kernel's one-op-per-layer form wins overall (round-2 bs=1: 4.63
+        pallas vs 5.01 xla full-model) — re-measure if kernels change."""
+        if self.dw_impl != 'auto':
+            return self.dw_impl
+        batch, h = x_shape[0], x_shape[1]
+        if batch < 8:
+            return 'pallas'
+        if stride == 1 and h >= 128:
+            return 'xla'
+        return 'native'
+
     @staticmethod
-    def prepare(qparams: Dict, mode: str = 'pallas') -> Dict:
+    def prepare(qparams: Dict, mode: str = 'pallas',
+                network: DetectionNetwork = None) -> Dict:
         """Stage qparams on device once. convert_to_int8/load_quantized
         return host numpy arrays (for serialisation); passing those to a
         jitted apply re-uploads them EVERY call (measured ~70 ms/call of
         DevicePut on the tunnel vs ~1 ms of actual compute). In 'pallas'
         mode also derives the kernel weight views ((Cin, Cout) 1x1
-        matrices, depthwise/HWC and im2col stems, per-channel column
-        sums); 'int'/'dequant' skip those dead uploads."""
+        matrices, depthwise/HWC, native-conv bf16 stems, per-channel
+        column sums); 'int'/'dequant' skip those dead uploads.
+
+        With ``network`` given, GROUPED convs (group width >= 2 — the
+        RegNet pattern) are densified to block-diagonal int8 weights
+        host-side, so they ride the same MXU paths as dense convs
+        (grouped 1x1 -> w2d, grouped 3x3 -> wnat; exact for group widths
+        <= 115, see _native_conv3x3). Without it they fall back to the
+        bf16-dequant XLA conv."""
+        groups_of = {}
+        if network is not None:
+            for node in network.graph.nodes:
+                if node.kind == 'convolutional':
+                    groups_of[str(node.index)] = node.attrs['groups']
         layers = {}
         for key, p in qparams['layers'].items():
             p = dict(p)
             wq = p.get('wq') if mode == 'pallas' else None
+            if wq is not None:
+                wq = np.asarray(wq)
+                g = groups_of.get(key, 1)
+                width = wq.shape[2]
+                if g > 1 and 2 <= width <= 115 and wq.shape[3] % g == 0:
+                    wq = _densify_int8_weight(wq, g)
             if wq is not None and wq.shape[0] == 1 and wq.shape[1] == 1:
-                w2d = np.asarray(wq).reshape(wq.shape[2], wq.shape[3])
+                w2d = wq.reshape(wq.shape[2], wq.shape[3])
                 p['w2d'] = w2d
                 p['colsum'] = w2d.astype(np.int32).sum(0)
             elif wq is not None and wq.shape[:3] == (3, 3, 1):
                 # depthwise 3x3 (HWIO with in/groups == 1) -> (3, 3, C)
-                p['wdw'] = np.asarray(wq).reshape(3, 3, wq.shape[3])
+                p['wdw'] = wq.reshape(3, 3, wq.shape[3])
             elif (wq is not None and wq.shape[:2] == (3, 3)
-                  and wq.shape[2] <= 16):
-                # small-Cin dense 3x3 (the stem): im2col views — patch
-                # slices turn it into a 1x1 conv on the fused MXU kernel.
-                # The XLA bf16 fallback ran this layer at ~0.09 TFLOP/s
-                # (Cin=3 starves the MXU) plus a 200us input layout copy.
-                w = np.asarray(wq)
-                cin, cout = w.shape[2], w.shape[3]
-                # stride 1: 9 stride-1 slices of the padded input,
-                # channels ordered (kh, kw, ci)
-                wim = w.reshape(9 * cin, cout)
-                p['wim'] = wim
-                p['wim_colsum'] = wim.astype(np.int32).sum(0)
-                # stride 2: row-parity patch weights — per kh the
-                # (W, Cin)-merged view contributes lanes (kw=1 ci...,
-                # kw=2 ci...) then the shifted kw=0 tap (ci...)
-                wp = np.zeros((9 * cin, cout), w.dtype)
-                for kh in range(3):
-                    base = 3 * cin * kh
-                    wp[base:base + cin] = w[kh, 1]
-                    wp[base + cin:base + 2 * cin] = w[kh, 2]
-                    wp[base + 2 * cin:base + 3 * cin] = w[kh, 0]
-                p['wim_p'] = wp
-                p['wim_p_colsum'] = wp.astype(np.int32).sum(0)
+                  and (wq.shape[2] <= 115 or groups_of.get(key, 1) > 1)):
+                # dense (or densified-grouped) 3x3 with exactness-bounded
+                # width: native-conv path (_native_conv3x3). The XLA bf16
+                # dequant fallback ran the Cin=3 stem at ~0.09 TFLOP/s;
+                # XLA-level im2col patch views cost 9.2 ms/fwd of layout
+                # glue at bs=16; Pallas stem kernels are Mosaic-blocked
+                # (all measured round 3).
+                p['wnat'] = wq  # int8 HWIO; cast to bf16 on device below
+                p['wnat_colsum'] = wq.astype(np.int32).sum((0, 1, 2))
             layers[key] = p
-        return {'layers': jax.tree.map(jnp.asarray, layers),
-                'act': qparams['act']}
+        staged = jax.tree.map(jnp.asarray, layers)
+        for key, p in staged.items():
+            if 'wnat' in p:
+                p['wnat'] = p['wnat'].astype(jnp.bfloat16)
+                p['wnat_colsum'] = p['wnat_colsum'].astype(jnp.float32)
+        return {'layers': staged, 'act': qparams['act']}
 
     def apply(self, qparams: Dict, x: jnp.ndarray):
         act = self.act if self.act is not None else qparams['act']
@@ -331,13 +432,15 @@ class Int8Inference:
                          and a['groups'] == a['filters']
                          and xq.shape[1] % a['stride'] == 0
                          and xq.shape[2] % a['stride'] == 0)
-                pw_ok = ('w2d' in p and a['groups'] == 1
-                         and a['stride'] == 1 and padding == 0)
-                im_ok = ('wim' in p and a['size'] == 3 and padding == 1
-                         and a['groups'] == 1 and a['stride'] in (1, 2)
-                         and xq.shape[1] % a['stride'] == 0
-                         and xq.shape[2] % a['stride'] == 0)
-                if pallas and cur_sz is not None and (pw_ok or dw_ok or im_ok):
+                pw_ok = ('w2d' in p and a['stride'] == 1 and padding == 0
+                         and p['w2d'].shape[0] == xq.shape[-1])
+                nat_ok = ('wnat' in p and a['size'] == 3 and padding == 1
+                          and a['stride'] in (1, 2)
+                          and p['wnat'].shape[2] == xq.shape[-1]
+                          and xq.shape[1] % a['stride'] == 0
+                          and xq.shape[2] % a['stride'] == 0)
+                if pallas and cur_sz is not None and (pw_ok or dw_ok
+                                                      or nat_ok):
                     from pqdet_tpu.ops.pallas_qconv import (make_scalars,
                                                             qconv1x1_s8,
                                                             qdwconv3x3_s8)
@@ -362,14 +465,18 @@ class Int8Inference:
                     if pw_ok:
                         y = qconv1x1_s8(xq, p['w2d'], p['w_scale'], p['b'],
                                         p['colsum'], **common)
-                    elif dw_ok and self.dw_impl == 'xla':
+                    elif dw_ok and self._dw_impl(xq.shape, a['stride']) \
+                            in ('xla', 'native'):
                         if _static_scalar(cur_sz[1]):
                             pv = np.int8(round(cur_sz[1]) - 128)
                         else:
                             pv = (jnp.round(cur_sz[1]) - 128).astype(jnp.int8)
-                        y = _xla_dw3x3(xq, p['wdw'], p['w_scale'], p['b'],
-                                       a['stride'], cur_sz, out_edge,
-                                       a['activation'], pv)
+                        fn = _xla_dw3x3 \
+                            if self._dw_impl(xq.shape, a['stride']) == 'xla' \
+                            else _native_dw3x3
+                        y = fn(xq, p['wdw'], p['w_scale'], p['b'],
+                               a['stride'], cur_sz, out_edge,
+                               a['activation'], pv)
                         xq, cur_sz = y, out_edge
                         if i in last_use:
                             cache[i] = (xq, cur_sz)
@@ -378,59 +485,18 @@ class Int8Inference:
                         y = qdwconv3x3_s8(xq, p['wdw'], p['w_scale'], p['b'],
                                           stride=a['stride'], **common)
                     else:
-                        # im2col: patch slices -> fused 1x1 MXU conv
-                        # (exact integer semantics; padding with the
-                        # recentred zero point = real 0). Stride 1 uses 9
-                        # stride-1 slices; stride 2 goes through
-                        # space-to-depth first because stride-2 XLA slices
-                        # lower to 428us gather fusions each.
-                        s = a['stride']
+                        # dense / densified-grouped 3x3 (stem, RegNet
+                        # grouped stacks): exact-int bf16 native conv on
+                        # the MXU (_native_conv3x3)
                         if _static_scalar(cur_sz[1]):
-                            pad_val = np.int8(round(cur_sz[1]) - 128)
+                            pv = np.int8(round(cur_sz[1]) - 128)
                         else:
-                            pad_val = (jnp.round(cur_sz[1]) - 128
-                                       ).astype(jnp.int8)
-                        n, hh, ww, cc = xq.shape
-                        if s == 1:
-                            xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1),
-                                              (0, 0)),
-                                         constant_values=pad_val)
-                            patches = jnp.concatenate(
-                                [xp[:, kh:kh + hh, kw:kw + ww, :]
-                                 for kh in range(3) for kw in range(3)],
-                                axis=-1)
-                            y = qconv1x1_s8(patches, p['wim'], p['w_scale'],
-                                            p['b'], p['wim_colsum'],
-                                            **common)
-                        else:
-                            # stride 2 via row parity: the (W, Cin)-merged
-                            # bitcast view makes every tap a PLAIN slice
-                            # (stride-2 XLA slices lowered to 428us gather
-                            # fusions each; space-to-depth cost 420us of
-                            # layout copies). Out row r reads rows 2r+kh-1:
-                            # kh=1 -> even rows, kh=0/2 -> odd rows shifted;
-                            # each row part's lanes hold cols (2c, 2c+1) =
-                            # the kw=1,2 taps, and lanes [cc:2cc] shifted
-                            # one column right give kw=0.
-                            ho, wo = hh // 2, ww // 2
-                            x4 = xq.reshape(n, ho, 2, wo, 2 * cc)
-                            xe, xo = x4[:, :, 0], x4[:, :, 1]
-                            pad_row = jnp.full((n, 1, wo, 2 * cc), pad_val,
-                                               jnp.int8)
-                            pad_col = jnp.full((n, ho, 1, cc), pad_val,
-                                               jnp.int8)
-                            parts = []
-                            for R in (jnp.concatenate(
-                                    [pad_row, xo[:, :ho - 1]], axis=1),
-                                    xe, xo):
-                                parts.append(R)  # kw=1,2 (2*cc lanes)
-                                parts.append(jnp.concatenate(
-                                    [pad_col, R[:, :, :wo - 1, cc:]],
-                                    axis=2))     # kw=0 (cc lanes)
-                            patches = jnp.concatenate(parts, axis=-1)
-                            y = qconv1x1_s8(patches, p['wim_p'],
-                                            p['w_scale'], p['b'],
-                                            p['wim_p_colsum'], **common)
+                            pv = (jnp.round(cur_sz[1]) - 128
+                                  ).astype(jnp.int8)
+                        y = _native_conv3x3(xq, p['wnat'], p['w_scale'],
+                                            p['b'], p['wnat_colsum'],
+                                            a['stride'], cur_sz, out_edge,
+                                            a['activation'], pv)
                     xq, cur_sz = y, out_edge
                     if i in last_use:
                         cache[i] = (xq, cur_sz)

@@ -70,7 +70,7 @@ def export_stablehlo_quant(network: DetectionNetwork, qparams: Dict,
     from pqdet_tpu.compress.quantized import Int8Inference
 
     exe = Int8Inference(network, mode=mode)
-    staged = Int8Inference.prepare(qparams, mode=mode)
+    staged = Int8Inference.prepare(qparams, mode=mode, network=network)
 
     def fn(images):
         return exe.apply(staged, images)

@@ -10,7 +10,13 @@ collapse one quantized conv layer into a single op each:
   dequant affine, bias, activation and output requantisation fused in the
   epilogue (57 of 84 convs in mobilenetv2-fpn, most of the MACs).
 - ``qdwconv3x3_s8``: depthwise 3x3 (stride 1/2) on the VPU in f32 (exact for
-  s8 operands), same fused epilogue (26 of 84 convs).
+  s8 operands), same fused epilogue (26 of 84 convs). Best at small batch;
+  at batch >= 8 Int8Inference dispatches dw layers per shape to XLA paths
+  (see compress.quantized._dw_impl — misaligned sublane tap slices force
+  relayout copies at large blocks). The small-Cin stem and densified
+  grouped convs run through compress.quantized._native_conv3x3 (exact-int
+  bf16 lax.conv) — three Pallas stem formulations are Mosaic-blocked, see
+  that docstring.
 
 Activations use a RECENTRED signed-int8 representation (s = q_u8 - 128,
 exact two's complement), so no per-layer recentre op exists anywhere; the
@@ -128,17 +134,32 @@ def qconv1x1_s8(x_s8: jnp.ndarray, w_s8: jnp.ndarray, w_scale: jnp.ndarray,
     """
     n, h, w, cin = x_s8.shape
     cout = w_s8.shape[1]
-    th = max(1, min(h, 512 // w if w <= 512 else 1))
-    while h % th:
-        th -= 1
     tn = min(128, cout)
+    # A 1x1 conv is position-independent: merge the batch dim into rows
+    # (layout-free reshape — N and H are the two major dims) so one
+    # program's rows can span images and the grid never multiplies by N.
+    nh = n * h
+    if n > 1:
+        x_s8 = x_s8.reshape(1, nh, w, cin)
+    # Row-block size from a total scoped-VMEM model (16 MB hard limit on
+    # v5e): double-buffered s8 input (2*cin B/pixel) + s32 accumulator and
+    # ~2 fused epilogue temps (12*tn B/pixel) + s8/f32 output. Large
+    # blocks matter: 512-pixel blocks put 2048 programs on one 256x256
+    # bs=16 layer and per-program launch overhead dominated — measured
+    # 5.4 ms total qconv1x1 vs a 1.1 ms memory roofline (round 3). A
+    # plain per-tensor budget OOMed at small tn (the epilogue scales with
+    # tn, the input with cin — both must be counted).
+    denom = w * (2 * cin + 12 * tn + 1)
+    th = max(1, min(nh, (12 << 20) // denom))
+    while nh % th:
+        th -= 1
     if requant is None:
         requant = out_scale is not None
     out_dtype = jnp.int8 if requant else jnp.float32
 
     kern = functools.partial(_qconv1x1_kernel, act=act, requant=requant)
-    grid = (n, h // th, pl.cdiv(cout, tn))
-    return pl.pallas_call(
+    grid = (1, nh // th, pl.cdiv(cout, tn))
+    out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -158,7 +179,7 @@ def qconv1x1_s8(x_s8: jnp.ndarray, w_s8: jnp.ndarray, w_scale: jnp.ndarray,
         out_specs=pl.BlockSpec((1, th, w, tn),
                                lambda ni, i, j: (ni, i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, cout), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((1, nh, w, cout), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * w * cin * cout,
             bytes_accessed=n * h * w * (cin + cout) + cin * cout,
@@ -169,6 +190,7 @@ def qconv1x1_s8(x_s8: jnp.ndarray, w_s8: jnp.ndarray, w_scale: jnp.ndarray,
       x_s8, w_s8, w_scale.reshape(1, -1).astype(jnp.float32),
       b.reshape(1, -1).astype(jnp.float32),
       colsum.reshape(1, -1).astype(jnp.int32))
+    return out.reshape(n, h, w, cout) if n > 1 else out
 
 
 # -------------------------------------------------------- depthwise (VPU)
@@ -186,21 +208,22 @@ def _qdw_kernel(s_ref, x0_ref, x1_ref, x2_ref, w_ref, ws_ref, b_ref,
     tb = stride * th
     c = x1_ref.shape[-1]
 
-    # (TB+2, W, C) f32 window; mask the halo rows outside the real image
-    # to the pad value (recentred zero point = real 0). The clamped halo
-    # blocks duplicate real rows at the borders (claimed row -1 / row h),
-    # which the claimed-global-index mask overwrites with pad.
+    # (TB+2, W+2, C) INT8 window — 4x smaller than the old f32 window, so
+    # row blocks (th) are 4x taller and the per-program launch overhead
+    # amortises (bs=16 ran thousands of f32-window micro-programs; measured
+    # 9.3 ms total dw vs a ~2 ms VPU-flop floor). Halo rows outside the
+    # image and the W pad use the recentred zero point (exact: act_qparams
+    # rounds zp, so round(zp)-128 IS the fractional-free pad). Row slices
+    # (outer dim) are taken on s8 and converted to f32 per kh; all
+    # W-axis slicing stays in f32.
+    pad_i = (jnp.round(s_ref[0, 1]).astype(jnp.int32) - 128).astype(jnp.int8)
     win = jnp.concatenate([x0_ref[0], x1_ref[0], x2_ref[0]], axis=0)
-    win = win.astype(jnp.float32)
-    pad = s_ref[0, 1] - 128.0  # x_zp - 128
     row0 = i * tb - 1  # global row of window row 0
     gidx = jax.lax.broadcasted_iota(jnp.int32, (tb + 2, 1, 1), 0) + row0
-    win = jnp.where((gidx >= 0) & (gidx < h), win, pad)
-
-    # pad W by 1 each side with the real-zero pad value
+    win = jnp.where((gidx >= 0) & (gidx < h), win, pad_i)
     win = jnp.concatenate([
-        jnp.full((tb + 2, 1, c), pad, jnp.float32), win,
-        jnp.full((tb + 2, 1, c), pad, jnp.float32)], axis=1)
+        jnp.full((tb + 2, 1, c), pad_i, jnp.int8), win,
+        jnp.full((tb + 2, 1, c), pad_i, jnp.int8)], axis=1)
 
     # output rows r in [0, th): window rows stride*r + kh. Mosaic rejects
     # strided vector slices, so stride-2 subsampling is a contiguous slice
@@ -213,13 +236,14 @@ def _qdw_kernel(s_ref, x0_ref, x1_ref, x2_ref, w_ref, ws_ref, b_ref,
     for kh in range(3):
         if stride == 1:
             rows = jax.lax.slice_in_dim(win, kh, kh + th, axis=0)
+            rows = rows.astype(jnp.float32)
             # one live tap temp at a time (a 3-tap list doubles peak VMEM)
             for kw in range(3):
                 tap = jax.lax.slice_in_dim(rows, kw, kw + wo, axis=1)
                 acc = acc + w_ref[3 * kh + kw, :] * (tap - x_off)
         else:
             rows = jax.lax.slice_in_dim(win, kh, kh + 2 * th, axis=0)
-            rows = rows.reshape(th, 2, w1, c)[:, 0]
+            rows = rows.reshape(th, 2, w1, c)[:, 0].astype(jnp.float32)
             par = rows.reshape(th, w1 // 2, 2, c)
             even, odd = par[:, :, 0], par[:, :, 1]
             for kw, tap in ((0, jax.lax.slice_in_dim(even, 0, wo, axis=1)),
@@ -251,13 +275,13 @@ def qdwconv3x3_s8(x_s8: jnp.ndarray, w_s8: jnp.ndarray, w_scale: jnp.ndarray,
         raise ValueError(f'stride-2 depthwise kernel needs even H/W, '
                          f'got {(h, w)}')
     ho, wo = (h + stride - 1) // stride, (w + stride - 1) // stride
-    # larger row blocks amortise program launch; cap the f32 window
-    # (stride*th + 2, w+2, c) to ~1 MB of VMEM — the accumulator, tap
-    # temporaries and double-buffered input blocks multiply the scoped
-    # VMEM several-fold beyond the window itself (a 4 MB window budget
-    # OOMed the 16 MB scoped-vmem limit at 24.6 MB on v5e, 1.3 MB was
-    # still 0.5 MB over)
-    budget = 2 ** 20 // (4 * stride * (w + 2) * c)
+    # Row-block size: the f32 accumulator (th, wo, c) and the per-kh f32
+    # row temp (th, w+2, c) are the VMEM hogs now that the window itself
+    # is s8 (1 B). Budget ~1 MB acc + ~1 MB s8 window; the scoped-VMEM
+    # ceiling is 16 MB on v5e and real usage is several x the nominal
+    # windows (double-buffered inputs + tap temps), so stay conservative.
+    budget = min((1 << 20) // (4 * wo * c),            # f32 acc rows
+                 (1 << 20) // (stride * (w + 2) * c))  # s8 window rows
     th = max(1, min(ho, budget))
     while ho % th:
         th -= 1

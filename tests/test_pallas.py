@@ -105,66 +105,6 @@ def test_pallas_decode_odd_height_falls_back():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
 
 
-def test_im2col_stem_exact_vs_int8_conv():
-    """The im2col stem paths (stride 1: 9 stride-1 patch slices; stride 2:
-    row-parity bitcast view + plain slices; both into the fused 1x1 MXU
-    kernel) == the XLA int8_conv oracle on a dense 3x3 conv. Uses the
-    executor's own patch construction and prepared weight views."""
-    from pqdet_tpu.compress.quantized import Int8Inference, int8_conv
-    from pqdet_tpu.ops.pallas_qconv import make_scalars, qconv1x1_s8
-
-    rng = np.random.RandomState(2)
-    cin, cout = 3, 32
-    xq = rng.randint(0, 256, (1, 16, 16, cin)).astype(np.uint8)
-    w = rng.randint(-127, 128, (3, 3, cin, cout)).astype(np.int8)
-    w_scale = (rng.rand(cout) * 0.01 + 0.001).astype(np.float32)
-    b = (rng.randn(cout) * 0.1).astype(np.float32)
-    xs, xzp = 0.015, 130.0
-    os_, ozp = 0.05, 9.0
-
-    x_s8 = (xq.astype(np.int16) - 128).astype(np.int8)
-    prep = Int8Inference.prepare(
-        {'layers': {'0': {'wq': w, 'w_scale': w_scale, 'b': b}}, 'act': {}})
-    p = prep['layers']['0']
-    pad_val = np.int8(round(xzp) - 128)
-    sc = jnp.asarray(make_scalars(xs, xzp, os_, ozp))
-
-    for stride in (1, 2):
-        y_ref = int8_conv(jnp.asarray(xq), (xs, xzp), jnp.asarray(w),
-                          jnp.asarray(w_scale), jnp.asarray(b), stride, 1, 1)
-        y_ref = np.asarray(jnp.where(y_ref > 0, y_ref, 0.1 * y_ref))
-        q_ref = np.clip(np.round(y_ref / os_ + ozp), 0, 255) - 128
-
-        n, hh, ww = 1, 16, 16
-        if stride == 1:
-            xp = jnp.pad(jnp.asarray(x_s8), ((0, 0), (1, 1), (1, 1), (0, 0)),
-                         constant_values=pad_val)
-            patches = jnp.concatenate(
-                [xp[:, kh:kh + hh, kw:kw + ww, :]
-                 for kh in range(3) for kw in range(3)], axis=-1)
-            wv, cs = p['wim'], p['wim_colsum']
-        else:
-            # row-parity construction, mirroring Int8Inference.apply
-            ho, wo = hh // 2, ww // 2
-            x4 = jnp.asarray(x_s8).reshape(n, ho, 2, wo, 2 * cin)
-            xe, xo = x4[:, :, 0], x4[:, :, 1]
-            pad_row = jnp.full((n, 1, wo, 2 * cin), pad_val, jnp.int8)
-            pad_col = jnp.full((n, ho, 1, cin), pad_val, jnp.int8)
-            parts = []
-            for R in (jnp.concatenate([pad_row, xo[:, :ho - 1]], axis=1),
-                      xe, xo):
-                parts.append(R)
-                parts.append(jnp.concatenate(
-                    [pad_col, R[:, :, :wo - 1, cin:]], axis=2))
-            patches = jnp.concatenate(parts, axis=-1)
-            wv, cs = p['wim_p'], p['wim_p_colsum']
-        q = qconv1x1_s8(patches, jnp.asarray(wv), jnp.asarray(w_scale),
-                        jnp.asarray(b), jnp.asarray(cs), act='leaky',
-                        scalars=sc, requant=True, interpret=True)
-        assert q.shape == q_ref.shape
-        np.testing.assert_array_equal(np.asarray(q).astype(np.int32), q_ref)
-
-
 def test_qdwconv_multiprogram_halo_rows():
     """Force th < H so the grid has several programs and halo rows cross
     program boundaries (and image borders) — vs the XLA int8_conv oracle."""
@@ -229,3 +169,38 @@ def test_xla_dw3x3_vs_int8_conv_oracle():
         q_ref = np.asarray(_quant_s8(jnp.asarray(y_ref), out_edge))
         np.testing.assert_array_equal(np.asarray(q), q_ref)
 
+
+
+def test_native_dw3x3_vs_int8_conv_oracle():
+    """The dw_impl='native' path (exact-integer-valued bf16 lax.conv: s8
+    values are exact in bf16, accumulation is f32) must match the int8_conv
+    oracle exactly for both strides, with and without the requant edge."""
+    from pqdet_tpu.compress.quantized import (_native_dw3x3, _quant_s8,
+                                              int8_conv)
+
+    rng = np.random.RandomState(13)
+    c = 40
+    xq = rng.randint(0, 256, (2, 18, 22, c)).astype(np.uint8)
+    w = rng.randint(-127, 128, (3, 3, 1, c)).astype(np.int8)
+    w_scale = (rng.rand(c) * 0.01 + 0.001).astype(np.float32)
+    b = (rng.randn(c) * 0.1).astype(np.float32)
+    xs, xzp = 0.02, 117.0
+    out_edge = (0.04, 7.0)
+    x_s8 = jnp.asarray((xq.astype(np.int16) - 128).astype(np.int8))
+    pad_val = np.int8(round(xzp) - 128)
+
+    for stride in (1, 2):
+        y_ref = int8_conv(jnp.asarray(xq), (xs, xzp), jnp.asarray(w),
+                          jnp.asarray(w_scale), jnp.asarray(b), stride, 1, c)
+        y_ref = np.asarray(jnp.where(y_ref > 0, y_ref, 0.1 * y_ref))
+        y = _native_dw3x3(x_s8, jnp.asarray(w.reshape(3, 3, c)),
+                          jnp.asarray(w_scale), jnp.asarray(b), stride,
+                          (xs, xzp), None, 'leaky', pad_val)
+        assert y.shape == y_ref.shape
+        np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-4,
+                                   rtol=1e-5)
+        q = _native_dw3x3(x_s8, jnp.asarray(w.reshape(3, 3, c)),
+                          jnp.asarray(w_scale), jnp.asarray(b), stride,
+                          (xs, xzp), out_edge, 'leaky', pad_val)
+        q_ref = np.asarray(_quant_s8(jnp.asarray(y_ref), out_edge))
+        np.testing.assert_array_equal(np.asarray(q), q_ref)

@@ -167,3 +167,47 @@ def test_quantized_checkpoint_roundtrip(tmp_path):
     out2 = Int8Inference(net2).apply(qparams2, x)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                rtol=1e-5, atol=1e-5)
+
+
+def _grouped_cfg(nc=3):
+    """RegNet-style net: grouped 3x3 stacks + a grouped 1x1."""
+    from pqdet_tpu.zoo.builder import CfgBuilder
+    b = CfgBuilder()
+    b.conv(16, size=3, stride=2, activation='relu')
+    b.conv(32, size=3, stride=2, groups=4, activation='relu')   # width 4
+    b.conv(32, size=1, groups=8, activation='relu')             # grouped 1x1
+    b.conv(48, size=3, stride=2, groups=8, activation="relu")
+    b.conv(3 * (5 + nc), size=1, bn=False, activation='linear')
+    b.yolo(nc)
+    return b.text()
+
+
+def test_int8_densified_grouped_convs_match_int_oracle():
+    """Quantized grouped convs (RegNet pattern) densify at prepare() and run
+    the MXU paths: grouped 3x3 -> _native_conv3x3 (exact-int bf16 conv),
+    grouped 1x1 -> qconv1x1_s8. Both must match the XLA 'int' oracle, which
+    runs the original feature_group_count convs."""
+    net = DetectionNetwork.from_cfg(_grouped_cfg(), quant=True)
+    params, state = net.init(jax.random.PRNGKey(1))
+    params, state = prepare_qat_state(net, params, state)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1)
+    for _ in range(3):
+        ctx = QuantCtx(state['quant'], observing=True)
+        net.apply(params, state, x, quant_ctx=ctx)
+        state = {**state, 'quant': ctx.new_obs}
+
+    qparams = convert_to_int8(net, params, state)
+    qp = Int8Inference.prepare(qparams, network=net)
+    # densification happened: grouped 3x3 -> wnat with full Cin; grouped
+    # 1x1 -> w2d with full Cin
+    assert qp['layers']['1']['wnat'].shape == (3, 3, 16, 32)
+    assert qp['layers']['2']['w2d'].shape == (32, 32)
+    assert qp['layers']['3']['wnat'].shape == (3, 3, 32, 48)
+
+    out = jax.jit(Int8Inference(net, act=qp['act']).apply)(qp, x)
+    ref = jax.jit(Int8Inference(net, mode='int').apply)(qparams, x)
+    np.testing.assert_allclose(np.asarray(out[..., 4:]),
+                               np.asarray(ref[..., 4:]), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out[..., :4]),
+                               np.asarray(ref[..., :4]), atol=0.5)

@@ -66,7 +66,8 @@ def build_int8(model, batch_size, dw_impl):
 
     state = {**state, 'quant': jax.device_get(observe_fwd(params, state, xc))}
     state = jax.tree.map(np.asarray, state)
-    qparams = Int8Inference.prepare(convert_to_int8(net, params, state))
+    qparams = Int8Inference.prepare(convert_to_int8(net, params, state),
+                                    network=net)
     int8 = Int8Inference(net, mode='pallas', act=qparams['act'],
                          dw_impl=dw_impl)
 
