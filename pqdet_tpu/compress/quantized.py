@@ -276,6 +276,44 @@ def _densify_int8_weight(wq: np.ndarray, groups: int) -> np.ndarray:
     return dense
 
 
+
+def _stem_im2col_small_batch(xq, p, common, stride, pad_val, qconv1x1_s8):
+    """Small-batch stem: XLA-level im2col patch views into the fused 1x1
+    MXU kernel (exact integer semantics; padding = recentred zero point).
+    Fast at bs < 8 (round-2 measurements); at batch the parity bitcast
+    views blow up into batch-minor layout copies (9.2 ms/fwd at bs=16,
+    round 3) and _native_conv3x3 takes over. Stride 1: 9 stride-1 slices
+    of the padded input; stride 2: row-parity bitcast view so every tap
+    is a PLAIN slice (stride-2 XLA slices lower to 428 us gather fusions
+    each; space-to-depth costs 420 us of layout copies)."""
+    n, hh, ww, cc = xq.shape
+    if stride == 1:
+        xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                     constant_values=pad_val)
+        patches = jnp.concatenate(
+            [xp[:, kh:kh + hh, kw:kw + ww, :]
+             for kh in range(3) for kw in range(3)], axis=-1)
+        return qconv1x1_s8(patches, p['wim'], p['w_scale'], p['b'],
+                           p['wim_colsum'], **common)
+    # stride 2 row parity: out row r reads rows 2r+kh-1 (kh=1 -> even rows,
+    # kh=0/2 -> odd rows shifted); each row part's lanes hold cols
+    # (2c, 2c+1) = the kw=1,2 taps, and lanes [cc:2cc] shifted one column
+    # right give kw=0
+    ho, wo = hh // 2, ww // 2
+    x4 = xq.reshape(n, ho, 2, wo, 2 * cc)
+    xe, xo = x4[:, :, 0], x4[:, :, 1]
+    pad_row = jnp.full((n, 1, wo, 2 * cc), pad_val, jnp.int8)
+    pad_col = jnp.full((n, ho, 1, cc), pad_val, jnp.int8)
+    parts = []
+    for R in (jnp.concatenate([pad_row, xo[:, :ho - 1]], axis=1), xe, xo):
+        parts.append(R)
+        parts.append(jnp.concatenate(
+            [pad_col, R[:, :, :wo - 1, cc:]], axis=2))
+    patches = jnp.concatenate(parts, axis=-1)
+    return qconv1x1_s8(patches, p['wim_p'], p['w_scale'], p['b'],
+                       p['wim_p_colsum'], **common)
+
+
 class Int8Inference:
     """Quantized graph executor (inference only, NHWC int8 tensors).
 
@@ -329,9 +367,24 @@ class Int8Inference:
         pallas vs 5.01 xla full-model) — re-measure if kernels change."""
         if self.dw_impl != 'auto':
             return self.dw_impl
+        import os
+        policy = os.environ.get('PQDET_DW_POLICY', '')  # A/B experiments
         batch, h = x_shape[0], x_shape[1]
+        if policy == 'xla_s1':
+            return 'xla' if stride == 1 else 'native'
+        if policy == 'native':
+            return 'native'
         if batch < 8:
-            return 'pallas'
+            # bs=1 table (us, tools/microbench_dw.py): the XLA unrolled
+            # fusion wins every h>=128 shape incl. stride 2 (dw1: 29 vs
+            # pallas 208); 'native' wins the small-h tail. The Pallas dw
+            # kernel never wins a shape on v5e — kept only as an explicit
+            # dw_impl choice.
+            return 'xla' if h >= 128 else 'native'
+        # bs>=8: in-model the fused XLA tap path is near-roofline for
+        # stride-1 h>=128; everything else does better as an exact-int
+        # bf16 native conv (xla_s1 A/B measured WORSE overall: 10.75 vs
+        # 10.39 ms device)
         if stride == 1 and h >= 128:
             return 'xla'
         return 'native'
@@ -385,6 +438,23 @@ class Int8Inference:
                 # (all measured round 3).
                 p['wnat'] = wq  # int8 HWIO; cast to bf16 on device below
                 p['wnat_colsum'] = wq.astype(np.int32).sum((0, 1, 2))
+                if wq.shape[2] <= 16:
+                    # true small-Cin stem: ALSO stage the im2col weight
+                    # views — the small-batch path (see
+                    # _stem_im2col_small_batch; the native conv costs
+                    # 431 us at bs=1 where the patch views cost ~100 us)
+                    cin, cout = wq.shape[2], wq.shape[3]
+                    wim = wq.reshape(9 * cin, cout)
+                    p['wim'] = wim
+                    p['wim_colsum'] = wim.astype(np.int32).sum(0)
+                    wp = np.zeros((9 * cin, cout), wq.dtype)
+                    for kh in range(3):
+                        base = 3 * cin * kh
+                        wp[base:base + cin] = wq[kh, 1]
+                        wp[base + cin:base + 2 * cin] = wq[kh, 2]
+                        wp[base + 2 * cin:base + 3 * cin] = wq[kh, 0]
+                    p['wim_p'] = wp
+                    p['wim_p_colsum'] = wp.astype(np.int32).sum(0)
             layers[key] = p
         staged = jax.tree.map(jnp.asarray, layers)
         for key, p in staged.items():
@@ -486,17 +556,22 @@ class Int8Inference:
                                           stride=a['stride'], **common)
                     else:
                         # dense / densified-grouped 3x3 (stem, RegNet
-                        # grouped stacks): exact-int bf16 native conv on
-                        # the MXU (_native_conv3x3)
+                        # grouped stacks)
                         if _static_scalar(cur_sz[1]):
                             pv = np.int8(round(cur_sz[1]) - 128)
                         else:
                             pv = (jnp.round(cur_sz[1]) - 128
                                   ).astype(jnp.int8)
-                        y = _native_conv3x3(xq, p['wnat'], p['w_scale'],
-                                            p['b'], p['wnat_colsum'],
-                                            a['stride'], cur_sz, out_edge,
-                                            a['activation'], pv)
+                        if 'wim' in p and xq.shape[0] < 8 \
+                                and a['stride'] in (1, 2):
+                            y = _stem_im2col_small_batch(
+                                xq, p, common, a['stride'], pv, qconv1x1_s8)
+                        else:
+                            # exact-int bf16 native conv on the MXU
+                            y = _native_conv3x3(
+                                xq, p['wnat'], p['w_scale'], p['b'],
+                                p['wnat_colsum'], a['stride'], cur_sz,
+                                out_edge, a['activation'], pv)
                     xq, cur_sz = y, out_edge
                     if i in last_use:
                         cache[i] = (xq, cur_sz)
