@@ -14,6 +14,7 @@ reference's dequant-op-quant sandwiches in its quantized ONNX export
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -205,6 +206,50 @@ def _xla_dw3x3(xq, wdw, w_scale, b, stride, x_sz, out_edge, act_name,
     return _quant_s8(y, out_edge)
 
 
+def _xla_pw1x1(xq, w2d, w_scale, b, colsum, x_sz, out_edge, act_name):
+    """Pointwise 1x1 via XLA's native s8 x s8 -> s32 conv on the int8 MXU,
+    requant fused into the conv's output fusion by XLA. Bit-exact with the
+    Pallas qconv1x1_s8 (same recentred-s8 algebra, f32 epilogue). The
+    whole-family alternative to the Pallas kernel: with EVERY layer in
+    plain XLA the compiler owns layout assignment end to end — the mixed
+    custom-call/native graph measured 3.7 ms/fwd of pure layout copies at
+    bs=16 (tools/profile_int8.py, STATUS r3)."""
+    x_scale, x_zp = x_sz
+    acc = jax.lax.conv_general_dilated(
+        xq, w2d[None, None], (1, 1), 'VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.int32)
+    alpha = jnp.float32(x_scale) * w_scale
+    beta = alpha * ((128.0 - jnp.float32(x_zp))
+                    * colsum.astype(jnp.float32)) + b
+    y = L.apply_activation(act_name, acc.astype(jnp.float32) * alpha + beta)
+    if out_edge is None:
+        return y
+    return _quant_s8(y, out_edge)
+
+
+def _xla_conv3x3_s8(xq, wq, w_scale, b, colsum, stride, x_sz, out_edge,
+                    act_name, pad_val):
+    """Dense 3x3 (stem / densified grouped) via the native s8 MXU conv —
+    exact s32 accumulation with no bf16 magnitude bound (cf.
+    _native_conv3x3's <=115-nonzero-weight limit), requant fused by XLA.
+    wq: (3, 3, Cin, Cout) int8; colsum: (Cout,) per-channel weight sum."""
+    x_scale, x_zp = x_sz
+    xs = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                 constant_values=pad_val)
+    acc = jax.lax.conv_general_dilated(
+        xs, wq, (stride, stride), ((0, 0), (0, 0)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.int32)
+    alpha = jnp.float32(x_scale) * w_scale
+    beta = alpha * ((128.0 - jnp.float32(x_zp))
+                    * colsum.astype(jnp.float32)) + b
+    y = L.apply_activation(act_name, acc.astype(jnp.float32) * alpha + beta)
+    if out_edge is None:
+        return y
+    return _quant_s8(y, out_edge)
+
+
 def _native_dw3x3(xq, wdw, w_scale, b, stride, x_sz, out_edge, act_name,
                   pad_val):
     """Depthwise 3x3 through XLA's NATIVE conv on RECENTRED-INTEGER-valued
@@ -252,7 +297,8 @@ def _native_conv3x3(xq, w_bf16, w_scale, b, colsum, stride, x_sz, out_edge,
     xf = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)),
                  constant_values=pad_val).astype(jnp.bfloat16)
     acc = jax.lax.conv_general_dilated(
-        xf, w_bf16, window_strides=(stride, stride), padding=((0, 0), (0, 0)),
+        xf, w_bf16.astype(jnp.bfloat16),
+        window_strides=(stride, stride), padding=((0, 0), (0, 0)),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         feature_group_count=groups,
         preferred_element_type=jnp.float32)
@@ -367,11 +413,12 @@ class Int8Inference:
         pallas vs 5.01 xla full-model) — re-measure if kernels change."""
         if self.dw_impl != 'auto':
             return self.dw_impl
-        import os
         policy = os.environ.get('PQDET_DW_POLICY', '')  # A/B experiments
         batch, h = x_shape[0], x_shape[1]
         if policy == 'xla_s1':
             return 'xla' if stride == 1 else 'native'
+        if policy == 'xla_all':
+            return 'xla'
         if policy == 'native':
             return 'native'
         if batch < 8:
@@ -388,6 +435,28 @@ class Int8Inference:
         if stride == 1 and h >= 128:
             return 'xla'
         return 'native'
+
+    def _pw_impl(self, x_shape) -> str:
+        """1x1 family: 'pallas' (fused MXU kernel, requant in the
+        epilogue) or 'xla' (native s8 conv, requant left to XLA).
+        Measured full-model at bs=16 (round 3): pallas 14.0 ms vs xla
+        14.8 — XLA's TPU backend does NOT fuse the requant chain into s8
+        conv outputs (separate f32 clamp passes double the epilogue
+        traffic), so the fused Pallas kernel wins at every batch size
+        despite homogeneous-chain microbenches favouring the native conv
+        (tools/microbench_conv1x1.py). 'xla' stays as an env A/B hook."""
+        env = os.environ.get('PQDET_PW_IMPL', '')
+        if env in ('pallas', 'xla'):
+            return env
+        return 'pallas'
+
+    def _nat_impl(self) -> str:
+        """Dense-3x3 family: 'bf16' (exact-int native conv, f32 MXU accum)
+        or 's8' (native int8 MXU conv, s32 accum — exact at any width)."""
+        env = os.environ.get('PQDET_NAT_IMPL', '')
+        if env in ('bf16', 's8'):
+            return env
+        return 's8'
 
     @staticmethod
     def prepare(qparams: Dict, mode: str = 'pallas',
@@ -436,7 +505,7 @@ class Int8Inference:
                 # XLA-level im2col patch views cost 9.2 ms/fwd of layout
                 # glue at bs=16; Pallas stem kernels are Mosaic-blocked
                 # (all measured round 3).
-                p['wnat'] = wq  # int8 HWIO; cast to bf16 on device below
+                p['wnat'] = wq  # int8 HWIO (s8 path raw; bf16 path casts)
                 p['wnat_colsum'] = wq.astype(np.int32).sum((0, 1, 2))
                 if wq.shape[2] <= 16:
                     # true small-Cin stem: ALSO stage the im2col weight
@@ -459,7 +528,8 @@ class Int8Inference:
         staged = jax.tree.map(jnp.asarray, layers)
         for key, p in staged.items():
             if 'wnat' in p:
-                p['wnat'] = p['wnat'].astype(jnp.bfloat16)
+                # stays int8 on device: the bf16 native path casts at
+                # trace time, the s8 path (nat_impl='s8') consumes it raw
                 p['wnat_colsum'] = p['wnat_colsum'].astype(jnp.float32)
         return {'layers': staged, 'act': qparams['act']}
 
@@ -532,7 +602,11 @@ class Int8Inference:
                             out_scale=None if out_edge is None else out_edge[0],
                             out_zp=None if out_edge is None else out_edge[1],
                             interpret=interpret)
-                    if pw_ok:
+                    if pw_ok and self._pw_impl(xq.shape) == 'xla':
+                        y = _xla_pw1x1(xq, p['w2d'], p['w_scale'], p['b'],
+                                       p['colsum'], cur_sz, out_edge,
+                                       a['activation'])
+                    elif pw_ok:
                         y = qconv1x1_s8(xq, p['w2d'], p['w_scale'], p['b'],
                                         p['colsum'], **common)
                     elif dw_ok and self._dw_impl(xq.shape, a['stride']) \
@@ -566,6 +640,12 @@ class Int8Inference:
                                 and a['stride'] in (1, 2):
                             y = _stem_im2col_small_batch(
                                 xq, p, common, a['stride'], pv, qconv1x1_s8)
+                        elif self._nat_impl() == 's8':
+                            # native int8 MXU conv, s32-exact at any width
+                            y = _xla_conv3x3_s8(
+                                xq, p['wnat'], p['w_scale'], p['b'],
+                                p['wnat_colsum'], a['stride'], cur_sz,
+                                out_edge, a['activation'], pv)
                         else:
                             # exact-int bf16 native conv on the MXU
                             y = _native_conv3x3(

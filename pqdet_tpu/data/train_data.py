@@ -170,6 +170,7 @@ class TrainData:
 
         self.sample_getter = SAMPLE_GETTER_REGISTER[self._name](
             mode='train', classes=self._classes,
+            cache_images=getattr(config.dataset, 'cache_images', False),
         ).set_train_augment(config.augment, self._current_input_size,
                             self._sample_img_path)
         self.init_shuffle()

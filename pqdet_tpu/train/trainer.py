@@ -287,8 +287,7 @@ class Trainer:
         ragged-tail padding below is defensive only and global_step stays
         consistent with steps_per_epoch."""
         unroll = self._unroll
-        it = epoch_batches(self.train_data, self._num_workers,
-                           prefetch=self.config.system.prefetch)
+        it = self._epoch_iter()
         if unroll == 1:
             for batch in it:
                 yield batch, 1
@@ -303,6 +302,29 @@ class Trainer:
             while len(group) < unroll:
                 group.append(group[-1])
             yield self._stack_group(group), unroll
+
+    def _epoch_iter(self):
+        """One epoch of host batches through the configured loader.
+        system.loader='process' uses the persistent spawn pool + shared
+        memory (scales past the GIL on multi-core hosts); 'thread' is the
+        low-overhead default matching the reference's DataLoader threads
+        (reference trainer.py:60-64)."""
+        if getattr(self.config.system, 'loader', 'thread') == 'process':
+            if getattr(self, '_proc_loader', None) is None:
+                from pqdet_tpu.data.train_data import ProcessLoader
+                self._proc_loader = ProcessLoader(
+                    self.train_data, self._num_workers,
+                    prefetch=max(self.config.system.prefetch, 2))
+            return self._proc_loader.epoch()
+        return epoch_batches(self.train_data, self._num_workers,
+                             prefetch=self.config.system.prefetch)
+
+    def close(self):
+        """Release loader workers/slabs (no-op for the thread loader)."""
+        pl = getattr(self, '_proc_loader', None)
+        if pl is not None:
+            pl.close()
+            self._proc_loader = None
 
     @staticmethod
     def _stack_group(group):
@@ -401,7 +423,10 @@ class Trainer:
             print('quantization aware training')
             self._observing, self._bn_frozen = True, False
         self.init_all()
-        self.train()
+        try:
+            self.train()
+        finally:
+            self.close()
 
     def run_prune(self, prune_weight: str):
         """Fine-tune preset after pruning (reference trainer.py:357-368)."""

@@ -315,3 +315,45 @@ def test_assign_labels_vectorised_parity():
                                      max_gt=24)
         for a, b in zip(la + pa, lb + pb):
             np.testing.assert_array_equal(a, b)
+
+
+def test_image_cache_isolation(tmp_path):
+    """dataset.cache_images hands out COPIES: augment ops that mutate in
+    place (CutOut writes into crop views) must not corrupt the cache."""
+    from pqdet_tpu.data.samples import VOCSampleGetter
+    g = VOCSampleGetter(mode='train', classes=CLASSES, cache_images=True)
+    p = str(tmp_path / 'x.jpg')
+    cv2.imwrite(p, np.random.RandomState(0).randint(0, 255, (40, 40, 3),
+                                                    dtype=np.int64).astype(np.uint8))
+    a = g.image(p)
+    orig = a[0, 0, 0]
+    a[0, 0, 0] = 255 - orig  # mutate the handed-out copy
+    assert g.image(p)[0, 0, 0] == orig
+    assert len(g._img_cache) == 1
+
+
+def test_process_loader_epoch(voc_cfg):
+    """ProcessLoader (spawned workers + shared-memory slabs) yields the
+    same batch count/shapes/size plan as the thread loader and sane
+    label content."""
+    from pqdet_tpu.data.train_data import ProcessLoader
+    data = TrainData(voc_cfg)
+    plan_sizes = [tuple(s) for s in data._sizes]
+    loader = ProcessLoader(data, num_workers=2, prefetch=2)
+    try:
+        seen = []
+        for batch in loader.epoch():
+            b, h, w, c = batch['image'].shape
+            assert (b, c) == (2, 3)
+            seen.append((h, w))
+            assert len(batch['targets']) == 6
+            for lab, s in zip(batch['targets'][:3], (8, 16, 32)):
+                assert lab.shape[1:3] == (h // s, w // s)
+                assert np.all(lab[..., -1] != 0)  # mixup weight everywhere
+            for gt in batch['targets'][3:]:
+                assert gt.shape == (2, 16, 4)
+        assert seen == plan_sizes  # multi-scale plan preserved exactly
+        # slabs are reusable across epochs
+        assert sum(1 for _ in loader.epoch()) == len(plan_sizes)
+    finally:
+        loader.close()

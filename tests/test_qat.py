@@ -211,3 +211,37 @@ def test_int8_densified_grouped_convs_match_int_oracle():
                                np.asarray(ref[..., 4:]), atol=2e-2)
     np.testing.assert_allclose(np.asarray(out[..., :4]),
                                np.asarray(ref[..., :4]), atol=0.5)
+
+
+def test_int8_xla_family_matches_pallas_family(monkeypatch):
+    """The whole-XLA serving family (1x1 via native s8 MXU convs, dense
+    3x3 via _xla_conv3x3_s8) is BIT-EXACT vs the Pallas-kernel family on
+    1x1/stem layers: both run the same recentred-s8 integer algebra with
+    f32 epilogues (dw layers may differ by bf16 tap rounding only).
+    Batch 8 engages the bs>=8 auto policy (pw joins the XLA conv family,
+    compress/quantized.py:_pw_impl)."""
+    net = DetectionNetwork.from_cfg(_mobile_style_cfg(), quant=True)
+    params, state = net.init(jax.random.PRNGKey(2))
+    params, state = prepare_qat_state(net, params, state)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(8, 32, 32, 3).astype(np.float32) * 2 - 1)
+    for _ in range(2):
+        ctx = QuantCtx(state['quant'], observing=True)
+        net.apply(params, state, x, quant_ctx=ctx)
+        state = {**state, 'quant': ctx.new_obs}
+
+    qparams = convert_to_int8(net, params, state)
+    qp = Int8Inference.prepare(qparams, network=net)
+    inf = Int8Inference(net, act=qp['act'])
+
+    monkeypatch.setenv('PQDET_PW_IMPL', 'xla')
+    monkeypatch.setenv('PQDET_NAT_IMPL', 's8')
+    out_xla = jax.jit(inf.apply)(qp, x)
+    monkeypatch.setenv('PQDET_PW_IMPL', 'pallas')
+    monkeypatch.setenv('PQDET_NAT_IMPL', 'bf16')
+    out_pal = jax.jit(inf.apply)(qp, x)
+
+    np.testing.assert_allclose(np.asarray(out_xla[..., 4:]),
+                               np.asarray(out_pal[..., 4:]), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out_xla[..., :4]),
+                               np.asarray(out_pal[..., :4]), atol=0.5)

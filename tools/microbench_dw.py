@@ -104,6 +104,26 @@ def main():
         res['xla'] = bench_variant(
             lambda xx: _xla_dw3x3(xx, wq, w_scale, b, stride,
                                   (0.02, x_zp), out_sz, 'relu', pv), x)
+
+        def s8_dw(xx):
+            # s8 x s8 -> s32 native depthwise: half the input traffic of
+            # the bf16 exact-int trick IF the TPU backend lowers grouped
+            # int8 convs well (the open question this row answers)
+            import jax
+            xs = jnp.pad(xx, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                         constant_values=pv)
+            acc = jax.lax.conv_general_dilated(
+                xs, wq.reshape(3, 3, 1, c), (stride, stride),
+                ((0, 0), (0, 0)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                feature_group_count=c, preferred_element_type=jnp.int32)
+            alpha = w_scale
+            beta = alpha * ((128.0 - x_zp) * colsum) + b
+            y = jnp.maximum(acc.astype(jnp.float32) * alpha + beta, 0.0)
+            os_, ozp = out_sz
+            return jnp.clip(jnp.round(y / os_ + (ozp - 128.0)),
+                            -128, 127).astype(jnp.int8)
+        res['s8'] = bench_variant(s8_dw, x)
         best = min(res, key=res.get)
         print(f'  {h:4d}x{h:<4d} c={c:<4d} s{stride}: ' +
               '  '.join(f'{k}={v:7.1f}' for k, v in res.items()) +
