@@ -602,7 +602,15 @@ class Int8Inference:
                             out_scale=None if out_edge is None else out_edge[0],
                             out_zp=None if out_edge is None else out_edge[1],
                             interpret=interpret)
-                    if pw_ok and self._pw_impl(xq.shape) == 'xla':
+                    # Tiny-spatial 1x1s (SE squeeze/excite, coarsest FPN
+                    # maps; W < one 8-sublane tile) go to the native s8
+                    # conv: the batch-merged Pallas reshape hits Mosaic
+                    # 'unsupported shape cast' on (N,1..4,1..4,C) blocks
+                    # at bs>=8 (probed per-shape on hardware, round 3),
+                    # and at these sizes the layer is dispatch noise —
+                    # the fused epilogue saves nothing.
+                    if pw_ok and (xq.shape[2] < 8
+                                  or self._pw_impl(xq.shape) == 'xla'):
                         y = _xla_pw1x1(xq, p['w2d'], p['w_scale'], p['b'],
                                        p['colsum'], cur_sz, out_edge,
                                        a['activation'])
