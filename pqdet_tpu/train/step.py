@@ -46,13 +46,23 @@ def add_sparse_l1(grads, params, sparse_ids: Set[str], ratio: float):
 def make_optimizer(schedule: Callable, weight_decay: float = 0.0):
     """Adam with torch-default betas/eps and optional L2 (reference
     trainer.py:160-163 uses optim.Adam(weight_decay=...), which is L2
-    regularisation added to the gradient, not decoupled AdamW)."""
+    regularisation added to the gradient, not decoupled AdamW).
+
+    The transform runs FLATTENED (optax.flatten): per-leaf Adam updates
+    on a detection net are hundreds of tiny oddly-tiled fusions — a
+    bs=32 mobilenetv2-fpn train-step trace showed 7.0 ms/step across
+    1264 multiply_add fusions, with single (3,3,1,32) depthwise-weight
+    updates costing 2.2 ms (serial scalar-core code on T(1,128) tiles).
+    One ravel + one fused elementwise Adam over the ~7M-param vector is
+    bandwidth-optimal instead. Update semantics are identical per leaf
+    (elementwise transform), so checkpoints/schedules are unaffected;
+    only the in-jit opt_state layout changes (never persisted)."""
     txs = []
     if weight_decay:
         txs.append(optax.add_decayed_weights(weight_decay))
     txs.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
     txs.append(optax.scale_by_learning_rate(schedule))
-    return optax.chain(*txs)
+    return optax.flatten(optax.chain(*txs))
 
 
 def resume_schedule_step(opt_state, step: int):

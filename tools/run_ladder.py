@@ -97,9 +97,9 @@ def main():
                   'experiment_name', 'clutter_sparse',
                   'weight.resume', fp_ckpt, 'weight.clear_history', 'on',
                   'sparse.switch', 'on', 'sparse.ratio', '0.005',
-                  'train.max_epochs', '10',
+                  'train.max_epochs', '6',
                   'train.learning_rate_init', '1e-4',
-                  'eval.after', '9'], '/tmp/ladder_sparse.log')
+                  'eval.after', '5'], '/tmp/ladder_sparse.log')
         ap50, ap = last_ap('/tmp/ladder_sparse.log')
         record('sparse', ap50=ap50, ap=ap, minutes=round(dt / 60, 1),
                ckpt=newest_ckpt('clutter_sparse'))
@@ -111,9 +111,9 @@ def main():
                   'prune.weight', sp_ckpt,
                   'prune.new_cfg', '/tmp/weights/clutter_pruned.cfg',
                   'prune.ratio', '0.3',
-                  'train.max_epochs', '10',
+                  'train.max_epochs', '6',
                   'train.learning_rate_init', '1e-4',
-                  'eval.after', '9'], '/tmp/ladder_prune.log')
+                  'eval.after', '5'], '/tmp/ladder_prune.log')
         ap50, ap = last_ap('/tmp/ladder_prune.log')
         record('prune', ap50=ap50, ap=ap, minutes=round(dt / 60, 1),
                ckpt=newest_ckpt('clutter_pruneft'))
@@ -126,7 +126,7 @@ def main():
                   'quant.switch', 'on',
                   'quant.disable_observer_after', '2',
                   'quant.freeze_bn_after', '3',
-                  'train.max_epochs', '5',
+                  'train.max_epochs', '4',
                   'train.learning_rate_init', '5e-5',
                   'train.input_sizes', '[512]',
                   'augment.mosaic_p', '0.0', 'augment.mixup_p', '0.0',
