@@ -27,8 +27,9 @@ def augmented_samples(cfg, img_path: str, n: int = 8):
     outs = []
     for _ in range(n):
         image, bboxes = getter(img_path)
-        image, _ = denorm(np.asarray(image, np.float32), [])
-        image = np.ascontiguousarray(image)
+        if image.dtype != np.uint8:  # host-normalized float chain
+            image, _ = denorm(np.asarray(image, np.float32), [])
+        image = np.ascontiguousarray(image, dtype=np.uint8)
         if len(bboxes):
             for bb in np.asarray(bboxes, np.float32):
                 x1, y1, x2, y2 = (int(round(v)) for v in bb[:4])

@@ -166,6 +166,12 @@ DEFAULTS: Dict[str, Any] = {
         # on TPU with matching loss curves; set 'float32' for bitwise parity
         'compute_dtype': 'bfloat16',
         'prefetch': 2,             # device prefetch depth
+        # 'device': batches carry only padded GT boxes and the label grids
+        # are built inside the jitted step (ops/labels.py) — ~4x fewer
+        # host->device bytes and the loader sheds its hottest non-decode
+        # cost. 'host': reference-style grids built in the loader
+        # (data/train_data.py assign_labels); bit-identical semantics.
+        'label_assign': 'device',
         # epoch-plan seed: deterministic sample/size plan, shared by every
         # host in a multi-host run (each host loads its slice of the plan)
         'seed': 0,

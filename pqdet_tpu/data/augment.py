@@ -307,7 +307,10 @@ class Mixup:
         parts = [b for b in (self._with_weight(bboxes, lam),
                              self._with_weight(bboxes2, 1 - lam)) if len(b)]
         if not parts:
-            return np.asarray(img, np.float32), np.zeros((1, 6), np.float32)
+            # keep the image dtype: train chains are uint8 end-to-end and
+            # normalize on device (dtype-dispatched), so a float cast here
+            # would silently skip normalization for box-free samples
+            return img, np.zeros((1, 6), np.float32)
         return img, np.concatenate(parts)
 
 

@@ -96,19 +96,22 @@ class BaseSampleGetter:
         return image, os.path.basename(img_path), shape, bboxes, diffs
 
 
-def _standard_train_chain(augment_cfg, input_size, extra_head=(),
-                          normalize=True):
-    chain = [
+def _standard_train_chain(augment_cfg, input_size, extra_head=()):
+    """Train chains are uint8 end-to-end: ImageNet normalization runs ON
+    DEVICE (ops/preprocess.py device_normalize, dispatched by dtype in the
+    train step), so batches ship as raw uint8 — 4x fewer host->device
+    bytes and zero host-side float passes on loader-bound hosts. Same
+    distribution as the reference's host-side Normalize (the affine
+    commutes with the uint8 mixup/mosaic blends; see
+    tests/test_data.py::test_device_normalize_parity)."""
+    return augment.Compose([
         *extra_head,
         augment.RandomHFlip(p=augment_cfg.hflip_p),
         augment.RandomVFlip(p=augment_cfg.vflip_p),
         augment.RandomSafeCrop(p=augment_cfg.crop_p),
         augment.ColorJitter(p=augment_cfg.color_p),
         augment.Resize(input_size),
-    ]
-    if normalize:
-        chain.append(augment.Normalize())
-    return augment.Compose(chain)
+    ])
 
 
 def _mosaic_p(augment_cfg) -> float:
@@ -116,17 +119,15 @@ def _mosaic_p(augment_cfg) -> float:
 
 
 def _compose_chain(augment_cfg, sampler, input_size):
-    """[Mosaic ->] Mixup [-> Normalize], the compose-augment stage
-    (reference dataset/voc_sample.py:64-74; its commented-out mosaic chain
-    normalizes after composition because Mosaic pastes uint8 tiles). When
-    mosaic is on, the base chain skips Normalize and it runs here instead."""
+    """[Mosaic ->] Mixup, the compose-augment stage (reference
+    dataset/voc_sample.py:64-74). Both stages blend uint8 (one fused
+    cv2.addWeighted instead of three float-image passes); normalization
+    happens on device (see _standard_train_chain)."""
     chain = []
     if _mosaic_p(augment_cfg) > 0:
         chain.append(augment.Mosaic(sampler, size=input_size,
                                     p=_mosaic_p(augment_cfg)))
     chain.append(augment.Mixup(sampler, p=augment_cfg.mixup_p, beta=1.5))
-    if _mosaic_p(augment_cfg) > 0:
-        chain.append(augment.Normalize())
     return chain
 
 
@@ -152,8 +153,7 @@ class VOCSampleGetter(BaseSampleGetter):
         return bbs, np.array(diffs)
 
     def set_train_augment(self, augment_cfg, input_size, img_path_sampler):
-        self.train_augment = _standard_train_chain(
-            augment_cfg, input_size, normalize=_mosaic_p(augment_cfg) == 0)
+        self.train_augment = _standard_train_chain(augment_cfg, input_size)
         sampler = lambda: self.base_train(img_path_sampler())
         self.compose_augment = augment.Compose(
             _compose_chain(augment_cfg, sampler, input_size))
@@ -200,8 +200,7 @@ class COCOSampleGetter(BaseSampleGetter):
         return self.train_augment(image, bboxes)
 
     def set_train_augment(self, augment_cfg, input_size, img_path_sampler):
-        self.train_augment = _standard_train_chain(
-            augment_cfg, input_size, normalize=_mosaic_p(augment_cfg) == 0)
+        self.train_augment = _standard_train_chain(augment_cfg, input_size)
         sampler = lambda: self.base_train(img_path_sampler())
         self.compose_augment = augment.Compose(
             _compose_chain(augment_cfg, sampler, input_size))
@@ -254,8 +253,6 @@ class VisDroneSampleGetter(BaseSampleGetter):
             augment.ColorJitter(p=augment_cfg.color_p),
             augment.Resize(input_size),
         ]
-        if _mosaic_p(augment_cfg) == 0:
-            chain.append(augment.Normalize())
         self.train_augment = augment.Compose(chain)
         sampler = lambda: self.base_train(img_path_sampler())
         self.compose_augment = augment.Compose(

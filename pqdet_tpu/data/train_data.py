@@ -154,6 +154,10 @@ class TrainData:
         self._iou_threshold = config.model.anchors_iou_threshold
         self._max_gt = config.model.max_gt_boxes
         self._size_group = getattr(config.train, 'unroll_steps', 1)
+        # 'device': ship padded GT boxes, grids build in the jitted step
+        # (ops/labels.py); 'host': reference-style grids built here
+        self._device_labels = getattr(config.system, 'label_assign',
+                                      'host') == 'device'
         if self._batch_size % num_hosts:
             raise ValueError(f'train.batch_size={self._batch_size} must be '
                              f'divisible by num_hosts={num_hosts}')
@@ -215,17 +219,36 @@ class TrainData:
         return self._imgs[random.randint(0, self._num_imgs - 1)]
 
     def build_sample(self, img_index: int, size):
-        """Decode + augment + label-assign one image-list entry at the
-        given input size (plan-independent; used by both loaders)."""
+        """Decode + augment (+ label-assign in host mode) one image-list
+        entry at the given input size (plan-independent; both loaders).
+
+        Device mode returns (image, gt) with gt = (max_gt, 6) zero-padded
+        raw boxes; host mode returns (image, labels(3), padded_boxes(3))."""
         self._tls.input_size = size
         image, bboxes = self.sample_getter(self._imgs[img_index])
         if len(bboxes) == 0:
             bboxes = np.zeros((0, 6), np.float32)
+        if self._device_labels:
+            bboxes = np.asarray(bboxes, np.float32).reshape(-1, 6)
+            gt = np.zeros((self._max_gt, 6), np.float32)
+            n = min(len(bboxes), self._max_gt)
+            gt[:n] = bboxes[:n]
+            if len(bboxes) > self._max_gt \
+                    and not getattr(TrainData, '_warned_truncate', False):
+                TrainData._warned_truncate = True
+                import warnings
+                warnings.warn(
+                    f'GT boxes exceeded model.max_gt_boxes={self._max_gt} '
+                    f'and were dropped; raise model.max_gt_boxes for '
+                    f'crowded datasets (warned once)', stacklevel=2)
+            return image, gt
         labels, padded = assign_labels(
             bboxes, size, self._strides, self._anchors,
             self._num_classes, self._gt_per_grid, self._iou_threshold,
             self._max_gt)
-        return image.astype(np.float32), labels, padded
+        # uint8 images stay uint8 (normalized on device, 4x fewer upload
+        # bytes); float images (a host-side Normalize chain) stay float
+        return image, labels, padded
 
     def get(self, index: int):
         """One training sample at the batch's planned size: (image CHW-free
@@ -243,10 +266,13 @@ class TrainData:
 
 
 def make_batch(data: TrainData, indices: List[int], pool=None) -> dict:
-    """Assemble one batch dict {'image', 'targets'} from sample indices."""
+    """Assemble one batch dict from sample indices: {'image', 'gt'} in
+    device-label mode, {'image', 'targets'} in host mode."""
     samples = list(pool.map(data.get, indices)) if pool is not None \
         else [data.get(i) for i in indices]
     images = np.stack([s[0] for s in samples])
+    if len(samples[0]) == 2:  # device-label mode
+        return {'image': images, 'gt': np.stack([s[1] for s in samples])}
     labels = [np.stack([s[1][k] for s in samples]) for k in range(3)]
     boxes = [np.stack([s[2][k] for s in samples]) for k in range(3)]
     return {'image': images, 'targets': tuple(labels + boxes)}
@@ -298,17 +324,22 @@ def _slab(name):
     return sm
 
 
-def _batch_layout(n, size, strides, gt_per_grid, num_classes, max_gt):
-    """[(shape, offset)] for image, labels x3, boxes x3 in one slab."""
+def _batch_layout(n, size, strides, gt_per_grid, num_classes, max_gt,
+                  device_labels=False):
+    """[(shape, dtype, offset)] for one slab: image (uint8) + either the
+    raw GT boxes (device-label mode) or labels x3 + boxes x3 (host)."""
     h, w = size
-    shapes = [(n, h, w, 3)]
-    shapes += [(n, h // s, w // s, gt_per_grid, 6 + num_classes)
-               for s in strides]
-    shapes += [(n, max_gt, 4)] * 3
+    specs = [((n, h, w, 3), np.uint8)]
+    if device_labels:
+        specs += [((n, max_gt, 6), np.float32)]
+    else:
+        specs += [((n, h // s, w // s, gt_per_grid, 6 + num_classes),
+                   np.float32) for s in strides]
+        specs += [((n, max_gt, 4), np.float32)] * 3
     offs, off = [], 0
-    for sh in shapes:
-        offs.append((sh, off))
-        off += int(np.prod(sh)) * 4
+    for sh, dt in specs:
+        offs.append((sh, dt, off))
+        off += int(np.prod(sh)) * np.dtype(dt).itemsize
     return offs, off
 
 
@@ -322,15 +353,19 @@ def _mp_build_batch(task):
     d = _MP_DATA
     samples = [d.build_sample(i, tuple(size)) for i in img_indices]
     layout, total = _batch_layout(len(img_indices), size, d._strides,
-                                  d._gt_per_grid, d._num_classes, d._max_gt)
+                                  d._gt_per_grid, d._num_classes, d._max_gt,
+                                  d._device_labels)
     buf = _slab(slab_name).buf
-    arrays = [np.ndarray(sh, np.float32, buf, off) for sh, off in layout]
+    arrays = [np.ndarray(sh, dt, buf, off) for sh, dt, off in layout]
     for j, sample in enumerate(samples):
         arrays[0][j] = sample[0]
-        for k in range(3):
-            arrays[1 + k][j] = sample[1][k]
-            arrays[4 + k][j] = sample[2][k]
-    return [sh for sh, _ in layout]
+        if d._device_labels:
+            arrays[1][j] = sample[1]
+        else:
+            for k in range(3):
+                arrays[1 + k][j] = sample[1][k]
+                arrays[4 + k][j] = sample[2][k]
+    return [(sh, np.dtype(dt).str) for sh, dt, _ in layout]
 
 
 class ProcessLoader:
@@ -362,7 +397,7 @@ class ProcessLoader:
         biggest = max(data._input_sizes, key=lambda s: s[0] * s[1])
         _, slab_bytes = _batch_layout(
             n_local, biggest, data._strides, data._gt_per_grid,
-            data._num_classes, data._max_gt)
+            data._num_classes, data._max_gt, data._device_labels)
         n_slabs = self._prefetch + 2
         self._slabs = [shared_memory.SharedMemory(create=True,
                                                   size=slab_bytes)
@@ -374,13 +409,16 @@ class ProcessLoader:
                               initargs=(data._config, seed))
         self._by_name = {sm.name: sm for sm in self._slabs}
 
-    def _materialise(self, slab_name, shapes):
+    def _materialise(self, slab_name, specs):
         buf = self._by_name[slab_name].buf
         out, off = [], 0
-        for sh in shapes:
-            a = np.ndarray(sh, np.float32, buf, off)
+        for sh, dtype_str in specs:
+            dt = np.dtype(dtype_str)
+            a = np.ndarray(sh, dt, buf, off)
             out.append(a.copy())  # memcpy out; slab becomes reusable
-            off += int(np.prod(sh)) * 4
+            off += int(np.prod(sh)) * dt.itemsize
+        if self._data._device_labels:
+            return {'image': out[0], 'gt': out[1]}
         return {'image': out[0], 'targets': tuple(out[1:])}
 
     def epoch(self) -> Iterator[dict]:

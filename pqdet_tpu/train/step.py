@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import optax
 
 from pqdet_tpu.model.network import DetectionNetwork
+from pqdet_tpu.ops.preprocess import device_normalize
 from pqdet_tpu.parallel.mesh import DATA_AXIS
 
 
@@ -89,12 +90,15 @@ def make_train_step(network: DetectionNetwork, optimizer,
                     sparse_ratio: float = 0.0,
                     sparse_ids: Optional[Set[str]] = None,
                     compute_dtype=None, remat: int = 0,
-                    dense_groups: bool = True):
+                    dense_groups: bool = True, label_fn=None):
     """Build the pure (params, state, opt_state, batch, rng) -> ... step.
 
-    batch: dict with 'image' (B,H,W,3) and 'targets' = 6-tuple of per-scale
-    grid labels + padded raw boxes. jit it with shardings from
-    parallel.mesh (batch sharded on DATA_AXIS, everything else replicated).
+    batch: dict with 'image' (B,H,W,3) and either 'targets' = 6-tuple of
+    per-scale grid labels + padded raw boxes (host label assignment) or
+    'gt' = (B, max_gt, 6) padded raw GT boxes, which ``label_fn``
+    (ops/labels.py label_assigner_from_config) expands to the same grids
+    ON DEVICE inside the step. jit it with shardings from parallel.mesh
+    (batch sharded on DATA_AXIS, everything else replicated).
 
     ``remat`` (int, train.remat in config): activation rematerialisation
     for the backward pass. N >= 2 splits the graph walk into N
@@ -120,7 +124,14 @@ def make_train_step(network: DetectionNetwork, optimizer,
         fwd = jax.checkpoint(fwd)
 
     def loss_fn(params, state, batch, rng):
-        return fwd(params, state, batch['image'], batch['targets'], rng)
+        # uint8 batches normalize on device (ops/preprocess.py); float
+        # batches were normalized on host and pass through
+        image = device_normalize(batch['image'])
+        if 'targets' in batch:
+            targets = batch['targets']
+        else:  # device-side label assignment from the padded GT boxes
+            targets = label_fn(batch['gt'], image.shape[1:3])
+        return fwd(params, state, image, targets, rng)
 
     def train_step(params, state, opt_state, batch, rng):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

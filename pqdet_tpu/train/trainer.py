@@ -138,6 +138,8 @@ class Trainer:
                 step_fn = make_multi_step(step_fn, self._unroll)
             return jit_train_step(step_fn, self.mesh, unroll=self._unroll)
 
+        from pqdet_tpu.ops.labels import label_assigner_from_config
+        self._label_fn = label_assigner_from_config(self.config)
         if self._quant:
             # jit specialises on the observer/BN-freeze phase flags; the
             # step is re-jitted when the schedule flips them (the closure
@@ -148,7 +150,8 @@ class Trainer:
                 self.network, self.optimizer,
                 sparse_ratio=self._sparse_ratio if self._sparse else 0.0,
                 sparse_ids=sparse_ids, compute_dtype=self._compute_dtype,
-                remat=int(getattr(self.config.train, 'remat', 0)))
+                remat=int(getattr(self.config.train, 'remat', 0)),
+                label_fn=self._label_fn)
             self._make_jstep = lambda: _jit(step_fn)
         self.jstep = self._make_jstep()
 
@@ -175,9 +178,14 @@ class Trainer:
             observing = trainer._observing  # static per jit cache entry
 
             def loss_fn(p):
+                from pqdet_tpu.ops.preprocess import device_normalize
                 ctx = QuantCtx(state['quant'], observing=observing)
+                image = device_normalize(batch['image'])
+                targets = batch['targets'] if 'targets' in batch \
+                    else trainer._label_fn(batch['gt'], image.shape[1:3])
                 losses, new_state = network.apply(
-                    p, state, batch['image'], targets=batch['targets'],
+                    p, state, image,
+                    targets=targets,
                     train=not trainer._bn_frozen, rng=rng,
                     compute_dtype=compute_dtype, quant_ctx=ctx)
                 new_state['quant'] = ctx.new_obs
@@ -335,11 +343,16 @@ class Trainer:
         this host's local slice becomes its shards of the GLOBAL batch
         (each host loaded rows [h*B/H, (h+1)*B/H) of the shared epoch plan).
 
-        Images are cast to the compute dtype on the HOST first: the model
-        casts its input anyway, so uploading bf16 instead of f32 halves
-        host->device bytes (50 -> 25 MB per bs=16@512 batch) with identical
-        numerics (same round-to-nearest, just moved across the transfer)."""
-        if self._compute_dtype is not None:
+        uint8 batches (the default train pipeline: augment chains stay
+        uint8 end-to-end and normalization runs on device,
+        ops/preprocess.py) upload raw — 4x fewer bytes than f32 and zero
+        host-side float passes. Float batches (hand-built, or host-side
+        Normalize chains) are cast to the compute dtype on the HOST:
+        the model casts its input anyway, so uploading bf16 instead of
+        f32 halves host->device bytes with identical numerics (same
+        round-to-nearest, just moved across the transfer)."""
+        if self._compute_dtype is not None \
+                and batch['image'].dtype != np.uint8:
             batch = {**batch,
                      'image': batch['image'].astype(self._compute_dtype)}
         if self._n_proc > 1:

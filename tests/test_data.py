@@ -102,6 +102,8 @@ def test_assign_labels_fallback():
 
 
 def test_train_data_epoch(voc_cfg):
+    """Default (device-label) pipeline: batches carry uint8 images + padded
+    raw GT boxes; grids build on device (ops/labels.py)."""
     data = TrainData(voc_cfg)
     assert data.length == 6
     assert len(data) == 6  # 3 batches * batch 2
@@ -109,15 +111,29 @@ def test_train_data_epoch(voc_cfg):
     for batch in epoch_batches(data, num_workers=2):
         b, h, w, c = batch['image'].shape
         assert (b, c) == (2, 3)
+        assert batch['image'].dtype == np.uint8
         sizes.add((h, w))
+        assert batch['gt'].shape == (2, 16, 6)
+        assert (batch['gt'][..., 2] >= batch['gt'][..., 0]).all()
+    # first batch forced to the largest size
+    assert (96, 96) in sizes
+
+
+def test_train_data_epoch_host_labels(voc_cfg):
+    """system.label_assign=host: reference-style grids built in the loader."""
+    cfg = voc_cfg.clone().defrost()
+    cfg.system.label_assign = 'host'
+    cfg.freeze()
+    data = TrainData(cfg)
+    for batch in epoch_batches(data, num_workers=2):
+        b, h, w, c = batch['image'].shape
+        assert (b, c) == (2, 3)
         assert len(batch['targets']) == 6
         for lab, s in zip(batch['targets'][:3], (8, 16, 32)):
             assert lab.shape[1:3] == (h // s, w // s)
             assert np.all(lab[..., -1] != 0)  # mixup weight set everywhere
         for gt in batch['targets'][3:]:
             assert gt.shape == (2, 16, 4)
-    # first batch forced to the largest size
-    assert (96, 96) in sizes
 
 
 def test_train_data_reshuffle(voc_cfg):
@@ -193,20 +209,42 @@ def test_mosaic_shapes():
 
 
 def test_mosaic_enabled_pipeline(voc_cfg):
-    """mosaic_p > 0 restructures the chain (normalize after composition)
-    and still produces well-formed batches."""
+    """mosaic_p > 0 composes mosaic+mixup in uint8 (normalization happens
+    on DEVICE, ops/preprocess.py) and still produces well-formed batches."""
     cfg = voc_cfg.clone().defrost()
     cfg.augment.mosaic_p = 1.0
+    cfg.system.label_assign = 'host'
     cfg.freeze()
     data = TrainData(cfg)
     img, labels, padded = data.get(0)
-    # normalized output: roughly ImageNet-standardized range
-    assert img.dtype == np.float32
-    assert -4.0 < img.min() and img.max() < 4.0
+    # raw uint8 out of the host chain: device_normalize handles the affine
+    assert img.dtype == np.uint8
     assert len(labels) == 3
     # mixup weight column filled
     for lab in labels:
         assert (lab[..., -1] != 0).all()
+    # device-label mode of the same pipeline: (image, padded gt boxes)
+    img2, gt = TrainData(voc_cfg).get(0)
+    assert img2.dtype == np.uint8 and gt.shape == (16, 6)
+
+
+def test_device_normalize_parity(voc_cfg):
+    """The device-side normalization (dtype-dispatched in the train step)
+    must produce EXACTLY the host Normalize's f32 values on a uint8 train
+    image, and pass floats through untouched."""
+    import jax.numpy as jnp
+    from pqdet_tpu.ops.preprocess import device_normalize
+
+    data = TrainData(voc_cfg)
+    img, _ = data.get(0)  # device-label mode: (image, gt)
+    assert img.dtype == np.uint8  # the pipeline ships raw uint8
+    host, _ = augment.Normalize()(img.copy(), [])
+    dev = np.asarray(device_normalize(jnp.asarray(img)))
+    assert host.dtype == dev.dtype == np.float32
+    np.testing.assert_array_equal(host, dev)
+    # float input = already normalized on host -> passthrough
+    out = device_normalize(jnp.asarray(host))
+    np.testing.assert_array_equal(np.asarray(out), host)
 
 
 def test_synth_clutter_generator(tmp_path):
@@ -228,6 +266,7 @@ def test_synth_clutter_generator(tmp_path):
         'train.batch_size', '2',
         'train.input_sizes', '[96]',
         'model.max_gt_boxes', '32',
+        'system.label_assign', 'host',
     ])
     data = TrainData(cfg)
     batch = next(iter(epoch_batches(data, num_workers=2)))
@@ -317,6 +356,40 @@ def test_assign_labels_vectorised_parity():
             np.testing.assert_array_equal(a, b)
 
 
+def test_device_label_assignment_parity():
+    """On-device label assignment (ops/labels.py, built inside the jit
+    step from the padded GT boxes) == host assign_labels bit-for-bit:
+    same crowded scenes, contended (cell, anchor) slots (LAST-box-wins),
+    argmax fallback, out-of-bounds centers, and zero-row padding."""
+    import jax.numpy as jnp
+    from pqdet_tpu.ops.labels import assign_labels_device
+
+    strides = np.array([8, 16, 32])
+    anchors = np.array([[10, 13], [16, 30], [33, 23], [30, 61], [62, 45],
+                        [59, 119], [116, 90], [156, 198], [373, 326]],
+                       np.float32)
+    nc, max_gt = 7, 24
+    rng = np.random.RandomState(7)
+    for trial in range(10):
+        n = rng.randint(0, max_gt + 1)   # device path grids <= max_gt boxes
+        size = (int(rng.choice([320, 416])), int(rng.choice([320, 416])))
+        cxy = rng.rand(n, 2) * np.array(size)[::-1] * 1.05 - 5  # some OOB
+        wh = np.exp(rng.uniform(np.log(2), np.log(300), (n, 2)))
+        boxes = np.concatenate([
+            cxy - wh / 2, cxy + wh / 2,
+            rng.randint(0, nc, (n, 1)).astype(np.float64),
+            rng.rand(n, 1)], axis=1).astype(np.float32)
+        la, pa = assign_labels(boxes, size, strides, anchors, nc,
+                               max_gt=max_gt)
+        gt = np.zeros((1, max_gt, 6), np.float32)
+        gt[0, :n] = boxes
+        outs = assign_labels_device(jnp.asarray(gt), size, strides, anchors,
+                                    nc, gt_per_grid=3, iou_threshold=0.3)
+        for host, dev in zip(la + pa, outs):
+            np.testing.assert_array_equal(host, np.asarray(dev)[0],
+                                          err_msg=f'trial {trial} n={n}')
+
+
 def test_image_cache_isolation(tmp_path):
     """dataset.cache_images hands out COPIES: augment ops that mutate in
     place (CutOut writes into crop views) must not corrupt the cache."""
@@ -337,7 +410,10 @@ def test_process_loader_epoch(voc_cfg):
     same batch count/shapes/size plan as the thread loader and sane
     label content."""
     from pqdet_tpu.data.train_data import ProcessLoader
-    data = TrainData(voc_cfg)
+    cfg = voc_cfg.clone().defrost()
+    cfg.system.label_assign = 'host'
+    cfg.freeze()
+    data = TrainData(cfg)
     plan_sizes = [tuple(s) for s in data._sizes]
     loader = ProcessLoader(data, num_workers=2, prefetch=2)
     try:
@@ -345,6 +421,7 @@ def test_process_loader_epoch(voc_cfg):
         for batch in loader.epoch():
             b, h, w, c = batch['image'].shape
             assert (b, c) == (2, 3)
+            assert batch['image'].dtype == np.uint8
             seen.append((h, w))
             assert len(batch['targets']) == 6
             for lab, s in zip(batch['targets'][:3], (8, 16, 32)):
@@ -355,5 +432,23 @@ def test_process_loader_epoch(voc_cfg):
         assert seen == plan_sizes  # multi-scale plan preserved exactly
         # slabs are reusable across epochs
         assert sum(1 for _ in loader.epoch()) == len(plan_sizes)
+    finally:
+        loader.close()
+
+
+def test_process_loader_device_labels(voc_cfg):
+    """ProcessLoader in the default device-label mode: uint8 image slab +
+    raw GT boxes."""
+    from pqdet_tpu.data.train_data import ProcessLoader
+    data = TrainData(voc_cfg)
+    loader = ProcessLoader(data, num_workers=2, prefetch=2)
+    try:
+        n = 0
+        for batch in loader.epoch():
+            assert batch['image'].dtype == np.uint8
+            assert batch['gt'].shape == (2, 16, 6)
+            assert batch['gt'].dtype == np.float32
+            n += 1
+        assert n == len(data._sizes)
     finally:
         loader.close()

@@ -189,11 +189,12 @@ def test_visdrone_pipeline(tmp_path):
     assert len(bbs) and (bbs[:, 4] < 10).all() and (bbs[:, 4] >= 0).all()
     assert set(np.unique(diffs)) <= {0, 1}
 
-    # train pipeline end to end (RandomCrop 416 + Resize + assignment)
+    # train pipeline end to end (RandomCrop 416 + Resize); device-label
+    # mode is the default: (uint8 image, padded gt boxes)
     data = TrainData(cfg)
-    img, labels, padded = data.get(0)
-    assert img.shape == (64, 64, 3)
-    assert len(labels) == 3 and len(padded) == 3
+    img, gt = data.get(0)
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    assert gt.shape[1] == 6
 
     # eval path: ResizeRatio(1.25) + PadNearestDivisor -> 96*1.25=120 -> 128
     edata = EvalData(cfg)

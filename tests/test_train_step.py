@@ -166,6 +166,62 @@ def test_train_step_on_mesh_decreases_loss():
     assert metrics['loss_per_branch'].shape == (3,)
 
 
+def test_gt_mode_step_matches_targets_mode():
+    """The device-label step path ('gt' batches + on-device assignment,
+    uint8 images + on-device normalize) must produce the SAME loss as the
+    host path ('targets' batches of pre-built grids, host-normalized f32
+    images) — the two production pipelines are interchangeable."""
+    from pqdet_tpu.data.augment import Normalize
+    from pqdet_tpu.data.train_data import assign_labels
+    from pqdet_tpu.ops.labels import assign_labels_device  # noqa: F401
+    from pqdet_tpu.train.schedule import cosine_warmup
+
+    nc, hw, b, max_gt = 4, 64, 4, 8
+    strides = np.array([8, 16, 32])
+    anchors = np.array([[10, 13], [16, 30], [33, 23], [30, 61], [62, 45],
+                        [59, 119], [116, 90], [156, 198], [373, 326]],
+                       np.float32)
+    rng = np.random.RandomState(3)
+    gt = np.zeros((b, max_gt, 6), np.float32)
+    per_image_targets = []
+    for i in range(b):
+        n = rng.randint(1, max_gt + 1)
+        cxy = rng.rand(n, 2) * (hw - 16) + 8
+        wh = rng.rand(n, 2) * 24 + 6
+        boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2,
+                                rng.randint(0, nc, (n, 1)).astype(np.float64),
+                                rng.rand(n, 1)], 1).astype(np.float32)
+        gt[i, :n] = boxes
+        la, pa = assign_labels(boxes, (hw, hw), strides, anchors, nc,
+                               max_gt=max_gt)
+        per_image_targets.append(tuple(la) + tuple(pa))
+    targets = tuple(jnp.asarray(np.stack([t[k] for t in per_image_targets]))
+                    for k in range(6))
+    img_u8 = rng.randint(0, 256, (b, hw, hw, 3)).astype(np.uint8)
+    img_f32, _ = Normalize()(img_u8.copy(), [])
+
+    net = DetectionNetwork.from_cfg(get_mesh_cfg())
+    params, state = net.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(cosine_warmup(1e-3, 1e-6, 1, 1000))
+
+    def label_fn(g, size):
+        return assign_labels_device(g, size, strides, anchors, nc)
+
+    step = make_train_step(net, opt, label_fn=label_fn)
+    srng = jax.random.PRNGKey(9)
+    _, _, _, m_host = jax.jit(step)(params, state, opt.init(params),
+                                    {'image': jnp.asarray(img_f32),
+                                     'targets': targets}, srng)
+    _, _, _, m_dev = jax.jit(step)(params, state, opt.init(params),
+                                   {'image': jnp.asarray(img_u8),
+                                    'gt': jnp.asarray(gt)}, srng)
+    # label grids are bit-identical (test_device_label_assignment_parity);
+    # the image affine differs by 1 ulp because XLA fuses x*scale+bias into
+    # an FMA (single rounding) where the host path rounds twice
+    np.testing.assert_allclose(float(m_host['loss']), float(m_dev['loss']),
+                               rtol=1e-5)
+
+
 def get_mesh_cfg():
     """Tiny 3-head net whose heads land on strides 8/16/32."""
     from pqdet_tpu.zoo.builder import CfgBuilder

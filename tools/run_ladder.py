@@ -18,9 +18,12 @@ import subprocess
 import sys
 import time
 
-ROOT = '/root/repo'
+# LADDER_ROOT: run the stages from a frozen snapshot of the repo so
+# concurrent development on /root/repo cannot break a mid-ladder stage;
+# the report always lands in the live repo's reports/.
+ROOT = os.environ.get('LADDER_ROOT', '/root/repo')
 W = '/tmp/weights'
-REPORT = os.path.join(ROOT, 'reports', 'clutter_ladder.json')
+REPORT = '/root/repo/reports/clutter_ladder.json'
 YAML = os.path.join(ROOT, 'yamls', 'clutter.yaml')
 
 CLASSES = ('[red_square, yellow_square, green_square, blue_square, '
