@@ -330,7 +330,12 @@ class Mosaic:
         ih, iw = _get_size(self.size)
         xc = int(np.random.uniform(iw * 0.5, iw * 1.5))
         yc = int(np.random.uniform(ih * 0.5, ih * 1.5))
-        canvas = np.full((ih * 2, iw * 2, 3), self.pad_val, np.uint8)
+        # Box placement runs in the VIRTUAL (2ih, 2iw) mosaic frame (the
+        # classic formula), but pixels paste straight into the final
+        # (ih, iw) window [ih/2:3ih/2, iw/2:3iw/2) — the full 2x canvas
+        # (4x the memset + paste bytes, then a crop) never materialises.
+        wx0, wy0 = iw // 2, ih // 2
+        canvas = np.full((ih, iw, 3), self.pad_val, np.uint8)
 
         others = [self.sampler() for _ in range(3)]
         all_imgs = [(img, bboxes)] + list(others)
@@ -351,7 +356,15 @@ class Mosaic:
             else:
                 xa = (xc, yc, min(xc + w, iw * 2), min(ih * 2, yc + h))
                 xb = (0, 0, min(w, xa[2] - xa[0]), min(xa[3] - xa[1], h))
-            canvas[xa[1]:xa[3], xa[0]:xa[2]] = image[xb[1]:xb[3], xb[0]:xb[2]]
+            # intersect the virtual dest rect with the output window and
+            # shift the source rect by the clipped amount
+            dx0, dy0 = max(xa[0], wx0), max(xa[1], wy0)
+            dx1, dy1 = min(xa[2], wx0 + iw), min(xa[3], wy0 + ih)
+            if dx0 < dx1 and dy0 < dy1:
+                sx0 = xb[0] + (dx0 - xa[0])
+                sy0 = xb[1] + (dy0 - xa[1])
+                canvas[dy0 - wy0:dy1 - wy0, dx0 - wx0:dx1 - wx0] = \
+                    image[sy0:sy0 + (dy1 - dy0), sx0:sx0 + (dx1 - dx0)]
             if len(bbs):
                 bbs = bbs.copy()
                 bbs[:, [0, 2]] = np.clip(bbs[:, [0, 2]], xb[0], xb[2]) + xa[0] - xb[0]
@@ -363,8 +376,6 @@ class Mosaic:
         if len(merged):
             merged[:, [0, 2]] = np.clip(merged[:, [0, 2]] - iw / 2, 0, iw)
             merged[:, [1, 3]] = np.clip(merged[:, [1, 3]] - ih / 2, 0, ih)
-        canvas = canvas[ih // 2: ih // 2 + ih, iw // 2: iw // 2 + iw]
-        if len(merged):
             merged = filter_degenerate_boxes(originals, merged,
                                              iou_threshold=0.2, area_threshold=25)
         return canvas, merged

@@ -285,8 +285,9 @@ def epoch_batches(data: TrainData, num_workers: int = 4,
     pool keeps `prefetch` batches in flight ahead of the consumer."""
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as samples, \
-            ThreadPoolExecutor(max_workers=max(prefetch, 1)) as assembler:
+    samples = ThreadPoolExecutor(max_workers=max(num_workers, 1))
+    assembler = ThreadPoolExecutor(max_workers=max(prefetch, 1))
+    try:
         pending = deque()
         for idx_list in data.batch_indices():
             while len(pending) >= max(prefetch, 1):
@@ -294,6 +295,13 @@ def epoch_batches(data: TrainData, num_workers: int = 4,
             pending.append(assembler.submit(make_batch, data, idx_list, samples))
         while pending:
             yield pending.popleft().result()
+    finally:
+        # wait=False: an abandoned generator finalised during interpreter
+        # shutdown cannot join threads (threading internals are already
+        # torn down -> "TypeError: 'NoneType' object is not callable"
+        # noise in CLI logs); workers are daemonic enough to drop
+        assembler.shutdown(wait=False, cancel_futures=True)
+        samples.shutdown(wait=False, cancel_futures=True)
 
 
 # ---------------------------------------------------- process-based loader

@@ -208,6 +208,91 @@ def test_mosaic_shapes():
         assert (bb[:, [0, 2]] <= 64).all() and (bb[:, [1, 3]] <= 64).all()
 
 
+def _mosaic_reference(sampler, size, pad_val, img, bboxes):
+    """The textbook 2x-canvas mosaic (materialise (2ih, 2iw), paste, crop
+    the center window) — the oracle for the direct-window paste in
+    augment.Mosaic. Consumes the same np.random draws in the same order."""
+    np.random.random()  # consume the p-gate draw like Mosaic.__call__
+    ih, iw = size
+    xc = int(np.random.uniform(iw * 0.5, iw * 1.5))
+    yc = int(np.random.uniform(ih * 0.5, ih * 1.5))
+    canvas = np.full((ih * 2, iw * 2, 3), pad_val, np.uint8)
+    others = [sampler() for _ in range(3)]
+    all_imgs = [(img, bboxes)] + list(others)
+    originals = np.concatenate([b for _, b in all_imgs if len(b)] or
+                               [np.zeros((0, 5), np.float32)], axis=0)
+    placed = []
+    for i, (image, bbs) in enumerate(all_imgs):
+        h, w = image.shape[:2]
+        if i == 0:
+            xa = (max(xc - w, 0), max(yc - h, 0), xc, yc)
+            xb = (w - (xa[2] - xa[0]), h - (xa[3] - xa[1]), w, h)
+        elif i == 1:
+            xa = (xc, max(yc - h, 0), min(xc + w, iw * 2), yc)
+            xb = (0, h - (xa[3] - xa[1]), min(w, xa[2] - xa[0]), h)
+        elif i == 2:
+            xa = (max(xc - w, 0), yc, xc, min(ih * 2, yc + h))
+            xb = (w - (xa[2] - xa[0]), 0, max(xc, w), min(xa[3] - xa[1], h))
+        else:
+            xa = (xc, yc, min(xc + w, iw * 2), min(ih * 2, yc + h))
+            xb = (0, 0, min(w, xa[2] - xa[0]), min(xa[3] - xa[1], h))
+        canvas[xa[1]:xa[3], xa[0]:xa[2]] = image[xb[1]:xb[3], xb[0]:xb[2]]
+        if len(bbs):
+            bbs = bbs.copy()
+            bbs[:, [0, 2]] = np.clip(bbs[:, [0, 2]], xb[0], xb[2]) + xa[0] - xb[0]
+            bbs[:, [1, 3]] = np.clip(bbs[:, [1, 3]], xb[1], xb[3]) + xa[1] - xb[1]
+            placed.append(bbs)
+    merged = np.concatenate(placed, axis=0) if placed \
+        else np.zeros((0, 5), np.float32)
+    if len(merged):
+        merged[:, [0, 2]] = np.clip(merged[:, [0, 2]] - iw / 2, 0, iw)
+        merged[:, [1, 3]] = np.clip(merged[:, [1, 3]] - ih / 2, 0, ih)
+    canvas = canvas[ih // 2: ih // 2 + ih, iw // 2: iw // 2 + iw]
+    if len(merged):
+        from pqdet_tpu.data.augment import filter_degenerate_boxes
+        merged = filter_degenerate_boxes(originals, merged,
+                                         iou_threshold=0.2, area_threshold=25)
+    return canvas, merged
+
+
+def test_mosaic_direct_paste_parity():
+    """Mosaic's direct-window paste (no 2x canvas) must equal the textbook
+    2x-canvas implementation pixel-for-pixel and box-for-box across random
+    piece sizes (incl. pieces bigger/smaller than the window and odd
+    sizes)."""
+    for trial in range(20):
+        seed = 100 + trial
+        rng = np.random.RandomState(seed)
+
+        def make():
+            h, w = rng.randint(20, 140), rng.randint(20, 140)
+            im = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+            n = rng.randint(0, 4)
+            bb = np.zeros((n, 5), np.float32)
+            if n:
+                xy = rng.rand(n, 2) * [w - 8, h - 8]
+                wh = rng.rand(n, 2) * 30 + 4
+                bb[:, :2] = xy
+                bb[:, 2:4] = np.minimum(xy + wh, [w, h])
+                bb[:, 4] = rng.randint(0, 3, n)
+            return im, bb
+
+        size = (int(rng.choice([63, 64, 96])), int(rng.choice([64, 81, 96])))
+        pieces = [make() for _ in range(8)]
+        img0, bb0 = make()
+
+        it_a = iter(pieces)
+        np.random.seed(seed)
+        out_a, box_a = augment.Mosaic(lambda: next(it_a), size=size,
+                                      p=1.1)(img0, bb0.copy())
+        it_b = iter(pieces)
+        np.random.seed(seed)
+        out_b, box_b = _mosaic_reference(lambda: next(it_b), size, 128,
+                                         img0, bb0.copy())
+        np.testing.assert_array_equal(out_a, out_b, err_msg=f'trial {trial}')
+        np.testing.assert_array_equal(box_a, box_b, err_msg=f'trial {trial}')
+
+
 def test_mosaic_enabled_pipeline(voc_cfg):
     """mosaic_p > 0 composes mosaic+mixup in uint8 (normalization happens
     on DEVICE, ops/preprocess.py) and still produces well-formed batches."""
