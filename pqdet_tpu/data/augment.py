@@ -296,9 +296,14 @@ class Mixup:
         if np.random.random() > self.p:
             return img, self._with_weight(bboxes, 1.0)
         img2, bboxes2 = self.sampler()
+        if img.shape != img2.shape:
+            # train chains always Resize both partners to the input size;
+            # a silent float blend of mismatched frames would also defeat
+            # the uint8==unnormalized / float==normalized dtype contract
+            raise ValueError(f'mixup partners must share a shape, got '
+                             f'{img.shape} vs {img2.shape}')
         lam = np.random.beta(self.beta, self.beta)
-        if img.dtype == np.uint8 and img2.dtype == np.uint8 \
-                and img.shape == img2.shape:
+        if img.dtype == np.uint8 and img2.dtype == np.uint8:
             # single fused SIMD blend (sub-LSB rounding vs the float path)
             img = cv2.addWeighted(img, lam, img2, 1.0 - lam, 0.0)
         else:
@@ -307,10 +312,12 @@ class Mixup:
         parts = [b for b in (self._with_weight(bboxes, lam),
                              self._with_weight(bboxes2, 1 - lam)) if len(b)]
         if not parts:
-            # keep the image dtype: train chains are uint8 end-to-end and
-            # normalize on device (dtype-dispatched), so a float cast here
-            # would silently skip normalization for box-free samples
-            return img, np.zeros((1, 6), np.float32)
+            # both partners box-free: empty labels (all-background grids,
+            # identical under the host and device label assigners; the
+            # reference's zeros-row placeholder instead gridded one
+            # mixw=0 pseudo-box at cell (0,0) — loss-inert there, but it
+            # would diverge between the two assignment modes here)
+            return img, np.zeros((0, 6), np.float32)
         return img, np.concatenate(parts)
 
 

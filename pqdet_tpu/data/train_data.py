@@ -156,8 +156,11 @@ class TrainData:
         self._size_group = getattr(config.train, 'unroll_steps', 1)
         # 'device': ship padded GT boxes, grids build in the jitted step
         # (ops/labels.py); 'host': reference-style grids built here
-        self._device_labels = getattr(config.system, 'label_assign',
-                                      'host') == 'device'
+        mode = getattr(config.system, 'label_assign', 'host')
+        if mode not in ('device', 'host'):
+            raise ValueError(f"system.label_assign must be 'device' or "
+                             f"'host', got {mode!r}")
+        self._device_labels = mode == 'device'
         if self._batch_size % num_hosts:
             raise ValueError(f'train.batch_size={self._batch_size} must be '
                              f'divisible by num_hosts={num_hosts}')
@@ -251,8 +254,9 @@ class TrainData:
         return image, labels, padded
 
     def get(self, index: int):
-        """One training sample at the batch's planned size: (image CHW-free
-        HWC float32, labels(3), padded boxes(3))."""
+        """One training sample at the batch's planned size — device-label
+        mode (default): (uint8 HWC image, (max_gt, 6) padded gt boxes);
+        host mode: (image, labels(3), padded boxes(3))."""
         size = self._sizes[index // self._batch_size]
         return self.build_sample(self._indexes[index], size)
 
@@ -366,6 +370,13 @@ def _mp_build_batch(task):
     buf = _slab(slab_name).buf
     arrays = [np.ndarray(sh, dt, buf, off) for sh, dt, off in layout]
     for j, sample in enumerate(samples):
+        if sample[0].dtype != np.uint8:
+            # the slab layout is uint8; a silent downcast of float images
+            # (a custom host-side Normalize chain) would train on garbage
+            raise TypeError(
+                f'system.loader=process requires uint8 train images '
+                f'(device-side normalization), got {sample[0].dtype}; '
+                f'use the thread loader for float-image chains')
         arrays[0][j] = sample[0]
         if d._device_labels:
             arrays[1][j] = sample[1]
