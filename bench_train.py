@@ -18,10 +18,16 @@ import numpy as np
 
 
 def _setup(batch_size, size, remat=0, model='mobilenetv2-fpn',
-           dense_groups=True):
+           dense_groups=True, gt_mode=True):
+    """gt_mode=True (default) benches the PRODUCTION batch format: uint8
+    images + padded GT boxes, normalize + label grids built on device
+    (ops/preprocess.py, ops/labels.py). gt_mode=False benches the
+    host-label format (pre-built grids, bf16 images) for comparison."""
     import jax
     import jax.numpy as jnp
+    from pqdet_tpu.config import default_config
     from pqdet_tpu.model.network import DetectionNetwork
+    from pqdet_tpu.ops.labels import label_assigner_from_config
     from pqdet_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
     from pqdet_tpu.train.schedule import cosine_warmup
     from pqdet_tpu.train.step import (jit_train_step, make_optimizer,
@@ -33,22 +39,37 @@ def _setup(batch_size, size, remat=0, model='mobilenetv2-fpn',
     opt = make_optimizer(cosine_warmup(2e-4, 1e-6, 500, 50000))
     opt_state = opt.init(params)
     step = make_train_step(net, opt, compute_dtype=jnp.bfloat16, remat=remat,
-                           dense_groups=dense_groups)
+                           dense_groups=dense_groups,
+                           label_fn=label_assigner_from_config(default_config()))
     mesh = make_mesh()
     jstep = jit_train_step(step, mesh)
 
     rng = np.random.RandomState(0)
     nc, a, gt = 20, 3, 64
-    tgt = []
-    for s in (8, 16, 32):
-        g = size // s
-        lab = np.zeros((batch_size, g, g, a, 6 + nc), np.float32)
-        lab[..., -1] = 1.0
-        tgt.append(lab)
-    tgt += [np.zeros((batch_size, gt, 4), np.float32) for _ in range(3)]
-    batch = {'image': rng.rand(batch_size, size, size, 3)
-             .astype(np.float32).astype(jnp.bfloat16),
-             'targets': tuple(tgt)}
+    if gt_mode:
+        boxes = np.zeros((batch_size, gt, 6), np.float32)
+        for i in range(batch_size):
+            n = rng.randint(4, 24)
+            cxy = rng.rand(n, 2) * (size - 32) + 16
+            wh = rng.rand(n, 2) * 120 + 8
+            boxes[i, :n, :2] = np.clip(cxy - wh / 2, 0, size - 1)
+            boxes[i, :n, 2:4] = np.clip(cxy + wh / 2, 1, size)
+            boxes[i, :n, 4] = rng.randint(0, nc, n)
+            boxes[i, :n, 5] = 1.0
+        batch = {'image': (rng.rand(batch_size, size, size, 3) * 255)
+                 .astype(np.uint8),
+                 'gt': boxes}
+    else:
+        tgt = []
+        for s in (8, 16, 32):
+            g = size // s
+            lab = np.zeros((batch_size, g, g, a, 6 + nc), np.float32)
+            lab[..., -1] = 1.0
+            tgt.append(lab)
+        tgt += [np.zeros((batch_size, gt, 4), np.float32) for _ in range(3)]
+        batch = {'image': rng.rand(batch_size, size, size, 3)
+                 .astype(np.float32).astype(jnp.bfloat16),
+                 'targets': tuple(tgt)}
     put = lambda sh: lambda x: jax.device_put(np.asarray(x), sh)
     batch = jax.tree.map(put(batch_sharding(mesh)), batch)
     carry = jax.tree.map(put(replicated(mesh)), (params, state, opt_state))
@@ -56,21 +77,12 @@ def _setup(batch_size, size, remat=0, model='mobilenetv2-fpn',
 
 
 def throughput():
-    import jax
     for bs in (16, 32):
-        jstep, (params, state, opt_state), batch = _setup(bs, 512)
-        rngs = jax.random.split(jax.random.PRNGKey(1), 21)
-        params, state, opt_state, m = jstep(params, state, opt_state,
-                                            batch, rngs[0])
-        jax.block_until_ready(m['loss'])  # compile + warmup
-        t0 = time.perf_counter()
-        for i in range(20):
-            params, state, opt_state, m = jstep(params, state, opt_state,
-                                                batch, rngs[i + 1])
-        jax.block_until_ready(m['loss'])
-        dt = (time.perf_counter() - t0) / 20
-        print(f'bs={bs} @512 bf16: {dt * 1e3:.1f} ms/step '
-              f'({bs / dt:.0f} imgs/s)')
+        for tag, gt_mode in (('gt+u8 ', True), ('grids ', False)):
+            jstep, carry, batch = _setup(bs, 512, gt_mode=gt_mode)
+            dt = _time_steps(jstep, carry, batch)
+            print(f'bs={bs} @512 bf16 [{tag}]: {dt * 1e3:.1f} ms/step '
+                  f'({bs / dt:.0f} imgs/s)', flush=True)
 
 
 def remat_probe():
