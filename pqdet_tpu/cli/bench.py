@@ -37,7 +37,9 @@ def _build_forward(cfg, weight, compute_dtype=None):
 
     @jax.jit
     def forward(p, x):
-        preds, _ = network.apply(p, {}, x, compute_dtype=compute_dtype)
+        from pqdet_tpu.ops.preprocess import device_normalize
+        preds, _ = network.apply(p, {}, device_normalize(x),
+                                 compute_dtype=compute_dtype)
         return preds
 
     return network, fused, forward

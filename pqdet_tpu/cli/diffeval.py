@@ -80,10 +80,14 @@ def _run_diffeval(cfg, weight: str, limit: int, ref_path: str):
     ref = reference_bridge.import_reference(
         ref_path or reference_bridge.DEFAULT_REF)
 
+    # host-side float normalization, bit-matching the torch reference's own
+    # preprocessing (the on-device path differs by one FMA rounding, which
+    # would blur the exact per-detection parity this harness asserts)
+    cfg = cfg.clone().defrost()
+    cfg.eval.host_normalize = True
     if limit:
-        cfg = cfg.clone().defrost()
         cfg.eval.partial = limit
-        cfg.freeze()
+    cfg.freeze()
 
     # ---- ours -----------------------------------------------------------
     network, params, state, info = build_detector(None, weight_path=weight)

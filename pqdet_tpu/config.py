@@ -250,6 +250,11 @@ DEFAULTS: Dict[str, Any] = {
         'pool_factor': 4,
         'nms_method': 'nms',       # 'nms' | 'soft-nms' (tools.py:507-538)
         'nms_sigma': 0.3,          # gaussian decay for soft-nms
+        # False (default): eval batches ship uint8 and normalize ON DEVICE
+        # (4x fewer upload bytes). True: reference-style host-side float
+        # Normalize — cli/diffeval pins this for bit-level parity with the
+        # torch reference's own preprocessing.
+        'host_normalize': False,
     },
     'sparse': {
         'switch': False,

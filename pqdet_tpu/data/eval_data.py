@@ -33,7 +33,9 @@ class EvalData:
 
         self.sample_getter = SAMPLE_GETTER_REGISTER[self._name](
             mode='eval', classes=self._classes,
-        ).set_eval_augment(self._input_size)
+        ).set_eval_augment(
+            self._input_size,
+            normalize=bool(getattr(config.eval, 'host_normalize', False)))
 
         with open(config.dataset.eval_txt_file, 'r') as fr:
             imgs = [l.strip() for l in fr if l.strip()]
@@ -58,7 +60,9 @@ class EvalData:
         samples = list(pool.map(self.sample_getter, paths)) if pool \
             else [self.sample_getter(p) for p in paths]
 
-        images = np.stack([s[0] for s in samples]).astype(np.float32)
+        # uint8 stays uint8 (device-side normalize, 4x fewer upload bytes);
+        # host-normalized chains (eval.host_normalize) stay float32
+        images = np.stack([s[0] for s in samples])
         count = len(samples)
         if count < self._batch_size:  # static shape for jit
             pad = np.zeros((self._batch_size - count,) + images.shape[1:],

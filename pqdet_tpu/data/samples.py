@@ -172,16 +172,21 @@ class VOCSampleGetter(BaseSampleGetter):
             _compose_chain(augment_cfg, sampler, input_size))
         return self
 
-    def set_eval_augment(self, input_size):
-        self.eval_augment = eval_augment_voc(input_size)
+    def set_eval_augment(self, input_size, normalize=False):
+        self.eval_augment = eval_augment_voc(input_size, normalize)
         return self
 
 
-def eval_augment_voc(input_size):
-    return augment.Compose([
-        augment.Resize(input_size),
-        augment.Normalize(),
-    ])
+def eval_augment_voc(input_size, normalize=False):
+    """Eval preprocessing. Default ships uint8 (ImageNet normalization runs
+    on device via ops/preprocess.device_normalize — 4x fewer upload bytes);
+    normalize=True keeps the reference's host-side float path
+    (eval.host_normalize, pinned by cli/diffeval for bit-level parity
+    against the torch reference's own float preprocessing)."""
+    chain = [augment.Resize(input_size)]
+    if normalize:
+        chain.append(augment.Normalize())
+    return augment.Compose(chain)
 
 
 class COCOSampleGetter(BaseSampleGetter):
@@ -220,8 +225,8 @@ class COCOSampleGetter(BaseSampleGetter):
             _compose_chain(augment_cfg, sampler, input_size))
         return self
 
-    def set_eval_augment(self, input_size):
-        self.eval_augment = eval_augment_coco(input_size)
+    def set_eval_augment(self, input_size, normalize=False):
+        self.eval_augment = eval_augment_coco(input_size, normalize)
         return self
 
     def eval(self, img_path: str):
@@ -273,17 +278,19 @@ class VisDroneSampleGetter(BaseSampleGetter):
             _compose_chain(augment_cfg, sampler, input_size))
         return self
 
-    def set_eval_augment(self, _input_size):
-        self.eval_augment = eval_augment_visdrone(_input_size)
+    def set_eval_augment(self, _input_size, normalize=False):
+        self.eval_augment = eval_augment_visdrone(_input_size, normalize)
         return self
 
 
-def eval_augment_visdrone(_input_size):
-    return augment.Compose([
+def eval_augment_visdrone(_input_size, normalize=False):
+    chain = [
         augment.ResizeRatio(1.25),
         augment.PadNearestDivisor(),
-        augment.Normalize(),
-    ])
+    ]
+    if normalize:
+        chain.append(augment.Normalize())
+    return augment.Compose(chain)
 
 
 SAMPLE_GETTER_REGISTER = {

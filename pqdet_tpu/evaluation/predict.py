@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from pqdet_tpu.config import size_fix
 from pqdet_tpu.data.samples import RECOVER_AFFINE_REGISTER
 from pqdet_tpu.ops.postprocess import nms_batch, nms_to_numpy, recover_bboxes
+from pqdet_tpu.ops.preprocess import device_normalize
 
 
 def build_predict_pipeline(network, cfg, compute_dtype=None,
@@ -43,7 +44,9 @@ def build_predict_pipeline(network, cfg, compute_dtype=None,
 
     @jax.jit
     def run(params, images, shapes):
-        preds = apply_fn(params, images)
+        # uint8 eval batches normalize on device; float inputs (an
+        # eval.host_normalize chain, or hand-built arrays) pass through
+        preds = apply_fn(params, device_normalize(images))
         recovered = recover_bboxes(preds, jnp.asarray(input_size), shapes,
                                    affine=affine)
         return nms_batch(recovered, score_thr, iou_thr, max_det,

@@ -161,6 +161,48 @@ def test_eval_data(voc_cfg):
     assert all(len(d) == len(b) for d, b in zip(b0['difficult'], b0['bboxes']))
 
 
+def test_eval_uint8_matches_host_normalize(voc_cfg):
+    """The uint8 eval path (device-side normalize in the predict pipeline)
+    must produce the same detections as eval.host_normalize within the FMA
+    rounding noise: same valid counts, boxes to 1e-2 px, scores to 1e-4."""
+    import jax
+    from pqdet_tpu.evaluation.predict import build_predict_pipeline
+    from pqdet_tpu.model.network import DetectionNetwork, fuse_params
+    from tests.test_train_step import get_mesh_cfg
+
+    net = DetectionNetwork.from_cfg(get_mesh_cfg())
+    params, state = net.init(jax.random.PRNGKey(0))
+    fused = fuse_params(net, params, state)
+
+    cfg_dev = voc_cfg.clone().defrost()
+    cfg_dev.eval.input_size = 96
+    cfg_dev.eval.score_threshold = 0.05
+    cfg_dev.freeze()
+    cfg_host = cfg_dev.clone().defrost()
+    cfg_host.eval.host_normalize = True
+    cfg_host.freeze()
+
+    b_dev = EvalData(cfg_dev).batch(0)
+    b_host = EvalData(cfg_host).batch(0)
+    assert b_dev['image'].dtype == np.uint8
+    assert b_host['image'].dtype == np.float32
+
+    run = build_predict_pipeline(net, cfg_dev)
+    import jax.numpy as jnp
+    r_dev = run(fused, jnp.asarray(b_dev['image']),
+                jnp.asarray(b_dev['shape']))
+    r_host = run(fused, jnp.asarray(b_host['image']),
+                 jnp.asarray(b_host['shape']))
+    nv_dev = np.asarray(r_dev.valid).sum(-1)
+    nv_host = np.asarray(r_host.valid).sum(-1)
+    np.testing.assert_array_equal(nv_dev, nv_host)
+    v = np.asarray(r_dev.valid)
+    np.testing.assert_allclose(np.asarray(r_dev.boxes)[v],
+                               np.asarray(r_host.boxes)[v], atol=1e-2)
+    np.testing.assert_allclose(np.asarray(r_dev.scores)[v],
+                               np.asarray(r_host.scores)[v], atol=1e-4)
+
+
 def test_letterbox_resize_augment():
     img = np.full((100, 200, 3), 50, np.uint8)
     boxes = np.array([[20, 10, 60, 50, 0]], np.float32)
