@@ -150,9 +150,20 @@ def batch_norm(x, params, state, train: bool):
     """
     gamma, beta = params['gamma'], params['beta']
     if train:
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=(0, 1, 2))
-        var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1, 2))
+        # One-pass moments: E[x] and Var[x] from a single fused read of the
+        # activation (the naive mean-then-centered-var needs TWO sequential
+        # full-HBM passes because var depends on mean; at bs=32@512 the BN
+        # stat reduces were 12.3 ms of a 73.5 ms train step). Shifting by
+        # the RUNNING mean keeps the E[d^2]-E[d]^2 form cancellation-safe:
+        # d = x - m0 is near-centered once m0 tracks the data, so the
+        # subtracted terms are small relative to f32 precision. Exact in
+        # exact arithmetic: mean = m0+E[d], var = E[d^2]-E[d]^2.
+        m0 = state['mean'].astype(jnp.float32)
+        d = x.astype(jnp.float32) - m0
+        dm = jnp.mean(d, axis=(0, 1, 2))
+        var = jnp.maximum(
+            jnp.mean(jnp.square(d), axis=(0, 1, 2)) - jnp.square(dm), 0.0)
+        mean = m0 + dm
         n = x.shape[0] * x.shape[1] * x.shape[2]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {
