@@ -66,6 +66,34 @@ def test_batch_norm_train_and_eval_vs_torch():
     np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-4)
 
 
+def test_batch_norm_one_pass_offset_stability():
+    """Worst case for the one-pass E[d^2]-E[d]^2 variance: activations with
+    a large mean offset and tiny spread (mean^2/var up to ~4e11), where an
+    uncentered one-pass loses ALL the variance to f32 cancellation. The
+    subsample-estimated shift must keep the moments accurate from a fresh
+    state — no warm running mean to lean on."""
+    n, h, w, c = 8, 16, 16, 4
+    rng = np.random.RandomState(0)
+    offs = np.array([100.0, -250.0, 1000.0, 0.0], np.float32)
+    x = (rng.randn(n, h, w, c).astype(np.float32) * 0.05 + offs)
+
+    params, state = L.init_bn(c)
+    y, new_state = L.batch_norm(jnp.array(x), params, state, train=True)
+
+    mean = x.reshape(-1, c).mean(0)
+    var = x.reshape(-1, c).var(0)
+    unbiased = var * (n * h * w / (n * h * w - 1))
+    # undo momentum 0.1 against the fresh state (mean 0, var 1)
+    cold_mean = np.asarray(new_state['mean']) / 0.1
+    cold_var = (np.asarray(new_state['var']) - 0.9 * 1.0) / 0.1
+    np.testing.assert_allclose(cold_mean, mean, rtol=1e-4)
+    np.testing.assert_allclose(cold_var, unbiased, rtol=1e-2)
+    # normalized output: zero mean, unit std per channel
+    ym = np.asarray(y).reshape(-1, c)
+    np.testing.assert_allclose(ym.mean(0), 0.0, atol=1e-2)
+    np.testing.assert_allclose(ym.std(0), 1.0, rtol=2e-2)
+
+
 def test_fold_bn_matches_separate():
     n, h, w, cin, cout = 2, 5, 5, 4, 8
     x = _rand(n, h, w, cin)
