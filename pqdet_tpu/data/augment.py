@@ -188,16 +188,28 @@ class CutOut:
         return img, bboxes
 
 
+def fold_norm_affine(mean, std):
+    """(x/255 - mean)/std == x*scale + bias. THE single definition of the
+    folded normalization affine: augment.Normalize (host) and
+    ops/preprocess.device_normalize (on-device uint8 path) must stay
+    bit-identical, so both derive their constants here."""
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    return ((1.0 / (255.0 * std)).astype(np.float32),
+            (-mean / std).astype(np.float32))
+
+
+NORM_SCALE, NORM_BIAS = fold_norm_affine(IMAGENET_MEAN, IMAGENET_STD)
+
+
 class Normalize:
     def __init__(self, mean=IMAGENET_MEAN, std=IMAGENET_STD):
         self.mean = np.array(mean, np.float32)
         self.std = np.array(std, np.float32)
-        # folded affine: (x/255 - mean)/std == x*scale + bias, applied
-        # in-place (the naive expression allocates 3 full-image temps and
-        # was the single hottest line of the sample pipeline at 3.8
-        # ms/sample on this 1-core host)
-        self._scale = (1.0 / (255.0 * self.std)).astype(np.float32)
-        self._bias = (-self.mean / self.std).astype(np.float32)
+        # folded affine applied in-place (the naive expression allocates 3
+        # full-image temps and was the single hottest line of the sample
+        # pipeline at 3.8 ms/sample on this 1-core host)
+        self._scale, self._bias = fold_norm_affine(mean, std)
 
     def __call__(self, img, bboxes):
         img = img.astype(np.float32)  # always a fresh buffer -> in-place ok

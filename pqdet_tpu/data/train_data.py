@@ -417,6 +417,16 @@ class ProcessLoader:
         _, slab_bytes = _batch_layout(
             n_local, biggest, data._strides, data._gt_per_grid,
             data._num_classes, data._max_gt, data._device_labels)
+        if getattr(data._config.dataset, 'cache_images', False) \
+                and num_workers > 1:
+            # every spawned worker rebuilds TrainData and fills its OWN
+            # decoded-image cache; over an epoch each worker touches most
+            # of the corpus, so RAM cost approaches num_workers x the
+            # full-corpus cache (~0.8 MB/image each)
+            print(f'ProcessLoader: dataset.cache_images duplicates the '
+                  f'decoded-image cache in each of the {num_workers} '
+                  f'workers (~{num_workers}x corpus RAM); prefer the '
+                  f'thread loader or fewer workers with large corpora')
         n_slabs = self._prefetch + 2
         self._slabs = [shared_memory.SharedMemory(create=True,
                                                   size=slab_bytes)
@@ -454,18 +464,32 @@ class ProcessLoader:
             return name, self._pool.apply_async(_mp_build_batch,
                                                 ((t[0], t[1], name),))
 
-        for t in (next(tasks, None) for _ in range(self._prefetch)):
-            if t is not None:
-                pending.append(submit(t))
-        while pending:
-            name, fut = pending.popleft()
-            shapes = fut.get()
-            batch = self._materialise(name, shapes)
-            self._free.append(name)
-            nxt = next(tasks, None)
-            if nxt is not None:
-                pending.append(submit(nxt))
-            yield batch
+        try:
+            for t in (next(tasks, None) for _ in range(self._prefetch)):
+                if t is not None:
+                    pending.append(submit(t))
+            while pending:
+                name, fut = pending.popleft()
+                shapes = fut.get()
+                batch = self._materialise(name, shapes)
+                self._free.append(name)
+                nxt = next(tasks, None)
+                if nxt is not None:
+                    pending.append(submit(nxt))
+                yield batch
+        finally:
+            # an abandoned generator (exception in the train loop, e.g. the
+            # NaN guard) must return in-flight slab names to the free list
+            # or the pool shrinks by one per abandonment until submit()
+            # pops from an empty list. Wait for each worker write to finish
+            # before the slab becomes reusable.
+            while pending:
+                name, fut = pending.popleft()
+                fut.wait(timeout=60)
+                if not fut.ready():
+                    print(f'ProcessLoader: worker still writing slab {name} '
+                          f'60 s after abandon; reclaiming anyway')
+                self._free.append(name)
 
     def close(self):
         self._pool.terminate()

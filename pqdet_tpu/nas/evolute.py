@@ -91,6 +91,9 @@ class Evoluter:
             except Exception as exc:
                 print(f'round {i} failed: {exc}')
                 continue
+            finally:
+                # one Trainer per round: release loader workers/shm slabs
+                trainer.close()
             print(fitness)
             self.records.append({'hyper': hypers, 'fitness': float(fitness)})
             with open(self.log_path, 'w') as fw:

@@ -20,13 +20,11 @@ Normalize), before the network's own compute-dtype cast.
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
-from pqdet_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
-
-_SCALE = (1.0 / (255.0 * np.asarray(IMAGENET_STD, np.float32))).astype(np.float32)
-_BIAS = (-np.asarray(IMAGENET_MEAN, np.float32)
-         / np.asarray(IMAGENET_STD, np.float32)).astype(np.float32)
+# the ONE folded-affine definition, shared with the host-side
+# augment.Normalize so the two paths stay bit-identical by construction
+from pqdet_tpu.data.augment import NORM_BIAS as _BIAS
+from pqdet_tpu.data.augment import NORM_SCALE as _SCALE
 
 
 def device_normalize(images: jnp.ndarray) -> jnp.ndarray:

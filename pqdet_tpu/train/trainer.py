@@ -468,8 +468,13 @@ class Trainer:
         self.config.train.warmup_epochs = 0.5
         self.config.freeze()
         self.init_all()
-        for epoch in range(0, self._eval_after + 1):
-            self.train_epoch(epoch)
-            if epoch >= self._eval_after:
-                return self.evaluate().AP
-        return 0.0
+        try:
+            for epoch in range(0, self._eval_after + 1):
+                self.train_epoch(epoch)
+                if epoch >= self._eval_after:
+                    return self.evaluate().AP
+            return 0.0
+        finally:
+            # NAS builds one Trainer per candidate: without this, each
+            # candidate leaks the process loader's workers + shm slabs
+            self.close()

@@ -563,6 +563,27 @@ def test_process_loader_epoch(voc_cfg):
         loader.close()
 
 
+def test_process_loader_abandoned_epoch_reclaims_slabs(voc_cfg):
+    """Abandoning the epoch generator mid-epoch (train-loop exception, e.g.
+    the NaN guard) must return in-flight slab names to the free list —
+    each leak would shrink the pool until submit() pops from empty."""
+    from pqdet_tpu.data.train_data import ProcessLoader
+    data = TrainData(voc_cfg)
+    loader = ProcessLoader(data, num_workers=2, prefetch=2)
+    try:
+        n_slabs = len(loader._free)
+        for _ in range(3):  # abandon after one batch, repeatedly
+            gen = loader.epoch()
+            next(gen)
+            gen.close()  # GeneratorExit -> finally must reclaim
+            assert len(loader._free) == n_slabs
+        # and a full epoch still works afterwards
+        assert sum(1 for _ in loader.epoch()) == len(data._sizes)
+        assert len(loader._free) == n_slabs
+    finally:
+        loader.close()
+
+
 def test_process_loader_device_labels(voc_cfg):
     """ProcessLoader in the default device-label mode: uint8 image slab +
     raw GT boxes."""

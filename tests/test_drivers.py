@@ -227,3 +227,32 @@ def test_visdrone_recover_matches_forward_pipeline():
                              affine=ratio_pad_affine)
         np.testing.assert_allclose(np.asarray(rec)[0, 0, :4], boxes[0, :4],
                                    atol=0.8, err_msg=f'{h}x{w}')
+
+
+def test_ladder_newest_ckpt_naming(tmp_path, monkeypatch):
+    """newest_ckpt must rank every Trainer naming scheme by epoch: plain
+    'model-<e>[-AP]', the prune fine-tune's 'pruned-<ratio>-model-<e>-AP'
+    (regression: the old 'pruned' substring filter excluded ALL fine-tune
+    checkpoints and int('30') ranked by ratio), and skip only the raw
+    '<ckpt>-pruned.ckpt' artifact cli.prune writes next to its input."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'run_ladder', os.path.join(os.path.dirname(__file__), '..',
+                                   'tools', 'run_ladder.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, 'W', str(tmp_path))
+
+    d = tmp_path / 'exp'
+    d.mkdir()
+    for name in ['pruned-30-model-2-0.5000.ckpt', 'pruned-30-model-11-0.6000.ckpt',
+                 'model-3-0.7-pruned.ckpt']:
+        (d / name).touch()
+    assert os.path.basename(mod.newest_ckpt('exp')).startswith(
+        'pruned-30-model-11')
+
+    d2 = tmp_path / 'exp2'
+    d2.mkdir()
+    for name in ['model-4.ckpt', 'model-10-0.4790.ckpt', 'model-9-0.9.ckpt']:
+        (d2 / name).touch()
+    assert 'model-10' in os.path.basename(mod.newest_ckpt('exp2'))

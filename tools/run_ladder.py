@@ -35,13 +35,17 @@ CLASSES = ('[red_square, yellow_square, green_square, blue_square, '
 
 def newest_ckpt(exp):
     paths = glob.glob(os.path.join(W, exp, '*.ckpt'))
-    paths = [p for p in paths if 'pruned' not in os.path.basename(p)]
+    # exclude only the raw pre-finetune artifact cli.prune writes next to
+    # its INPUT ckpt ('<ckpt>-pruned.ckpt'); the fine-tune's own saves are
+    # named 'pruned-<ratio>-model-<epoch>[-AP].ckpt' and must be eligible
+    paths = [p for p in paths
+             if not os.path.basename(p).endswith('-pruned.ckpt')]
     if not paths:
         raise FileNotFoundError(f'no ckpt under {W}/{exp}')
     def key(p):
-        stem = os.path.basename(p).rsplit('.', 1)[0]
-        parts = stem.split('-')
-        return int(parts[1])
+        parts = os.path.basename(p).rsplit('.', 1)[0].split('-')
+        i = len(parts) - 1 - parts[::-1].index('model')  # last 'model' token
+        return int(parts[i + 1])
     return max(paths, key=key)
 
 
