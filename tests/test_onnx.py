@@ -4,6 +4,7 @@ reference, test.py:22-40; exporters cover convert.py:58-69 and
 export/onnx_exporter.py:33-398)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -72,8 +73,25 @@ def test_export_normal_roundtrip():
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
-def test_export_quantized_roundtrip():
-    net = DetectionNetwork.from_cfg(_mobile_style_cfg(), quant=True)
+def _regnet_style_cfg(nc=3):
+    """Grouped convs with group width >= 2 (the RegNet shape class): the
+    quantized export must emit QLinearConv group=G with the ORIGINAL
+    grouped weights even though Int8Inference serves them densified."""
+    from pqdet_tpu.zoo.builder import CfgBuilder
+    b = CfgBuilder()
+    b.conv(16, size=3, stride=2, activation='relu')
+    b.conv(32, size=1, activation='relu')
+    b.conv(32, size=3, groups=4, activation='relu')   # width 8 grouped
+    b.conv(32, size=1, activation='linear')
+    b.shortcut(1)
+    b.conv(3 * (5 + nc), size=1, bn=False, activation='linear')
+    b.yolo(nc)
+    return b.text()
+
+
+@pytest.mark.parametrize('cfg_fn', [_mobile_style_cfg, _regnet_style_cfg])
+def test_export_quantized_roundtrip(cfg_fn):
+    net = DetectionNetwork.from_cfg(cfg_fn(), quant=True)
     params, state = net.init(jax.random.PRNGKey(0))
     params, state = prepare_qat_state(net, params, state)
     rng = np.random.RandomState(1)
