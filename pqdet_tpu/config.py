@@ -264,6 +264,9 @@ DEFAULTS: Dict[str, Any] = {
         'weight': '',
         'new_cfg': '',
         'ratio': 0.3,
+        # fine-tune length after pruning; 20 matches the reference's
+        # hardcoded run_prune preset (trainer.py:357-368)
+        'finetune_epochs': 20,
     },
     'quant': {
         'switch': False,

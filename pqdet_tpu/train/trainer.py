@@ -447,7 +447,8 @@ class Trainer:
         cfg.model.cfg_path = self.config.prune.new_cfg
         cfg.train.learning_rate_init = self._init_lr * 0.2
         cfg.train.warmup_epochs = 0.0
-        cfg.train.max_epochs = 20
+        cfg.train.max_epochs = int(getattr(self.config.prune,
+                                           'finetune_epochs', 20))
         cfg.weight.backbone = ''
         cfg.weight.resume = prune_weight
         cfg.weight.clear_history = True

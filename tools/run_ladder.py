@@ -118,7 +118,7 @@ def main():
                   'prune.weight', sp_ckpt,
                   'prune.new_cfg', '/tmp/weights/clutter_pruned.cfg',
                   'prune.ratio', '0.3',
-                  'train.max_epochs', '6',
+                  'prune.finetune_epochs', '6',
                   'train.learning_rate_init', '1e-4',
                   'eval.after', '5'], '/tmp/ladder_prune.log')
         ap50, ap = last_ap('/tmp/ladder_prune.log')
