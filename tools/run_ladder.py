@@ -21,16 +21,18 @@ import time
 # LADDER_ROOT: run the stages from a frozen snapshot of the repo so
 # concurrent development on /root/repo cannot break a mid-ladder stage;
 # the report always lands in the live repo's reports/.
+# The other LADDER_* env knobs exist so the SAME driver can be rehearsed
+# at tiny scale on CPU (tiny yaml + LADDER_EXTRA='train.max_epochs 2 ...'
+# appended after each stage's own overrides, so the extras win) before
+# burning hours of real-chip time on the full run.
 ROOT = os.environ.get('LADDER_ROOT', '/root/repo')
-W = '/tmp/weights'
-REPORT = '/root/repo/reports/clutter_ladder.json'
-YAML = os.path.join(ROOT, 'yamls', 'clutter.yaml')
-
-CLASSES = ('[red_square, yellow_square, green_square, blue_square, '
-           'red_circle, yellow_circle, green_circle, blue_circle, '
-           'red_triangle, yellow_triangle, green_triangle, blue_triangle, '
-           'red_diamond, yellow_diamond, green_diamond, blue_diamond, '
-           'red_bar, yellow_bar, green_bar, blue_bar]')
+W = os.environ.get('LADDER_WEIGHTS', '/tmp/weights')
+REPORT = os.environ.get('LADDER_REPORT',
+                        '/root/repo/reports/clutter_ladder.json')
+YAML = os.environ.get('LADDER_YAML', os.path.join(ROOT, 'yamls',
+                                                  'clutter.yaml'))
+EXTRA = os.environ.get('LADDER_EXTRA', '').split()
+LOGDIR = os.environ.get('LADDER_LOGDIR', '/tmp')
 
 
 def newest_ckpt(exp):
@@ -52,7 +54,7 @@ def newest_ckpt(exp):
 def run(cmd, log):
     print(f'>>> {" ".join(cmd)} (log {log})', flush=True)
     t0 = time.time()
-    with open(log, 'w') as fw:
+    with open(log, 'a') as fw:  # append: retries keep earlier context
         r = subprocess.run(cmd, cwd=ROOT, stdout=fw, stderr=subprocess.STDOUT)
     dt = time.time() - t0
     if r.returncode != 0:
@@ -60,6 +62,86 @@ def run(cmd, log):
         raise RuntimeError(f'{cmd} failed rc={r.returncode}')
     print(f'<<< done in {dt / 60:.1f} min', flush=True)
     return dt
+
+
+def wait_backend():
+    """Block until a JAX backend initialises in a fresh subprocess. The
+    axon TPU tunnel drops for minutes-to-hours at a time; a multi-hour
+    ladder stage must ride through that instead of aborting. Instant
+    no-op on CPU rehearsals."""
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, '-c', 'import jax; jax.devices()'],
+                timeout=180, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f'[ladder] backend unavailable, retrying ({time.ctime()})',
+              flush=True)
+        time.sleep(180)
+
+
+RETRIES = int(os.environ.get('LADDER_RETRIES', '40'))
+
+
+def run_retry(cmd, log, tries=3):
+    """run() that waits for the backend and reruns from scratch on
+    failure — for cheap stages (prune rebuild, convert, eval)."""
+    for attempt in range(tries):
+        wait_backend()
+        try:
+            return run(cmd, log)
+        except RuntimeError:
+            if attempt == tries - 1:
+                raise
+            print(f'[ladder] stage failed, rerun {attempt + 1}/{tries - 1}',
+                  flush=True)
+
+
+def run_train(cmd, log, exp):
+    """run() with crash resilience for long train stages: on failure,
+    wait until the backend answers again and relaunch resuming from the
+    experiment's own newest checkpoint (weight.clear_history off so the
+    step counter — and therefore the LR schedule and epoch accounting —
+    continues where it left off; trailing duplicate keys win in
+    load_config). Aborts after 3 consecutive failures that made no new
+    checkpoint: that is a real bug, not a tunnel drop."""
+    total = 0.0
+    stale = 0
+    prev_ckpt = None
+    for attempt in range(RETRIES + 1):
+        wait_backend()
+        attempt_cmd = list(cmd)
+        if attempt > 0:
+            try:
+                ck = newest_ckpt(exp)
+                attempt_cmd += ['weight.resume', ck,
+                                'weight.clear_history', 'off']
+                print(f'[ladder] resuming {exp} from {ck}', flush=True)
+            except FileNotFoundError:
+                print(f'[ladder] no {exp} ckpt yet, restarting stage',
+                      flush=True)
+        t0 = time.time()
+        try:
+            return total + run(attempt_cmd, log)
+        except RuntimeError:
+            total += time.time() - t0
+            try:
+                cur = newest_ckpt(exp)
+            except FileNotFoundError:
+                cur = None
+            stale = stale + 1 if cur == prev_ckpt else 0
+            prev_ckpt = cur
+            if stale >= 4:
+                raise RuntimeError(
+                    f'{exp}: 4 consecutive failures with no checkpoint '
+                    f'progress (last: {cur}) — aborting, see {log}')
+            if attempt == RETRIES:
+                raise
+            time.sleep(30)  # don't hot-loop on a flapping tunnel
 
 
 def last_ap(log):
@@ -92,44 +174,52 @@ def main():
     py = sys.executable
 
     if 'fp' in stages:
-        dt = run([py, '-m', 'pqdet_tpu.cli.train', '--yaml', YAML],
-                 '/tmp/ladder_fp.log')
-        ap50, ap = last_ap('/tmp/ladder_fp.log')
+        dt = run_train([py, '-m', 'pqdet_tpu.cli.train', '--yaml', YAML]
+                       + EXTRA, os.path.join(LOGDIR, 'ladder_fp.log'),
+                       'clutter_mobilenetv2_fpn')
+        ap50, ap = last_ap(os.path.join(LOGDIR, 'ladder_fp.log'))
         record('fp', ap50=ap50, ap=ap, minutes=round(dt / 60, 1),
                ckpt=newest_ckpt('clutter_mobilenetv2_fpn'))
 
     if 'sparse' in stages:
         fp_ckpt = json.load(open(REPORT))['fp']['ckpt']
-        dt = run([py, '-m', 'pqdet_tpu.cli.train', '--yaml', YAML,
+        dt = run_train([py, '-m', 'pqdet_tpu.cli.train', '--yaml', YAML,
                   'experiment_name', 'clutter_sparse',
                   'weight.resume', fp_ckpt, 'weight.clear_history', 'on',
                   'sparse.switch', 'on', 'sparse.ratio', '0.005',
                   'train.max_epochs', '6',
                   'train.learning_rate_init', '1e-4',
-                  'eval.after', '5'], '/tmp/ladder_sparse.log')
-        ap50, ap = last_ap('/tmp/ladder_sparse.log')
+                  'eval.after', '5'] + EXTRA,
+                 os.path.join(LOGDIR, 'ladder_sparse.log'), 'clutter_sparse')
+        ap50, ap = last_ap(os.path.join(LOGDIR, 'ladder_sparse.log'))
         record('sparse', ap50=ap50, ap=ap, minutes=round(dt / 60, 1),
                ckpt=newest_ckpt('clutter_sparse'))
 
     if 'prune' in stages:
         sp_ckpt = json.load(open(REPORT))['sparse']['ckpt']
-        dt = run([py, '-m', 'pqdet_tpu.cli.prune', '--yaml', YAML,
+        dt = run_retry([py, '-m', 'pqdet_tpu.cli.prune', '--yaml', YAML,
                   'experiment_name', 'clutter_pruneft',
                   'prune.weight', sp_ckpt,
-                  'prune.new_cfg', '/tmp/weights/clutter_pruned.cfg',
+                  'prune.new_cfg', os.path.join(W, 'clutter_pruned.cfg'),
                   'prune.ratio', '0.3',
                   'prune.finetune_epochs', '6',
                   'train.learning_rate_init', '1e-4',
-                  'eval.after', '5'], '/tmp/ladder_prune.log')
-        ap50, ap = last_ap('/tmp/ladder_prune.log')
+                  'eval.after', '5'] + EXTRA,
+                 os.path.join(LOGDIR, 'ladder_prune.log'))
+        ap50, ap = last_ap(os.path.join(LOGDIR, 'ladder_prune.log'))
         record('prune', ap50=ap50, ap=ap, minutes=round(dt / 60, 1),
                ckpt=newest_ckpt('clutter_pruneft'))
 
     if 'qat' in stages:
         pf_ckpt = json.load(open(REPORT))['prune']['ckpt']
-        dt = run([py, '-m', 'pqdet_tpu.cli.train', '--yaml', YAML,
+        dt = run_train([py, '-m', 'pqdet_tpu.cli.train', '--yaml', YAML,
                   'experiment_name', 'clutter_qat',
                   'weight.resume', pf_ckpt, 'weight.clear_history', 'on',
+                  # the finetuned ckpt has PRUNED shapes: build from the
+                  # pruned cfg the prune stage wrote (reference prune.py
+                  # flow trains the new cfg; trainer resolves model.cfg_path
+                  # before the ckpt-embedded text)
+                  'model.cfg_path', os.path.join(W, 'clutter_pruned.cfg'),
                   'quant.switch', 'on',
                   'quant.disable_observer_after', '2',
                   'quant.freeze_bn_after', '3',
@@ -137,20 +227,21 @@ def main():
                   'train.learning_rate_init', '5e-5',
                   'train.input_sizes', '[512]',
                   'augment.mosaic_p', '0.0', 'augment.mixup_p', '0.0',
-                  'eval.after', '99'], '/tmp/ladder_qat.log')
+                  'eval.after', '99'] + EXTRA,
+                 os.path.join(LOGDIR, 'ladder_qat.log'), 'clutter_qat')
         record('qat', minutes=round(dt / 60, 1),
                ckpt=newest_ckpt('clutter_qat'))
 
     if 'int8' in stages:
         q_ckpt = json.load(open(REPORT))['qat']['ckpt']
-        int8_path = '/tmp/weights/clutter_int8.ckpt'
-        run([py, '-m', 'pqdet_tpu.cli.convert', 'quantize',
+        int8_path = os.path.join(W, 'clutter_int8.ckpt')
+        run_retry([py, '-m', 'pqdet_tpu.cli.convert', 'quantize',
              '--weight', q_ckpt, '--out', int8_path],
-            '/tmp/ladder_convert.log')
-        dt = run([py, '-m', 'pqdet_tpu.cli.bench', 'eval', '--yaml', YAML,
-                  '--weight', int8_path, 'eval.batch_size', '16'],
-                 '/tmp/ladder_int8eval.log')
-        ap50, ap = last_ap('/tmp/ladder_int8eval.log')
+            os.path.join(LOGDIR, 'ladder_convert.log'))
+        dt = run_retry([py, '-m', 'pqdet_tpu.cli.bench', 'eval', '--yaml', YAML,
+                  '--weight', int8_path, 'eval.batch_size', '16'] + EXTRA,
+                 os.path.join(LOGDIR, 'ladder_int8eval.log'))
+        ap50, ap = last_ap(os.path.join(LOGDIR, 'ladder_int8eval.log'))
         record('int8', ap50=ap50, ap=ap, minutes=round(dt / 60, 1),
                ckpt=int8_path)
 
