@@ -228,6 +228,11 @@ DEFAULTS: Dict[str, Any] = {
         # 4-image mosaic before mixup (the reference implements Mosaic but
         # leaves it commented out of the chains, dataset/voc_sample.py:69-74)
         'mosaic_p': 0.0,
+        # run the stochastic chain ON DEVICE inside the jitted train step
+        # (ops/augment_device.py): the host does one cached-decode +
+        # letterbox per sample — no mosaic x4 / mixup x2 host work. Needs
+        # system.label_assign=device (the default). VOC/COCO getters only.
+        'device': False,
     },
     'weight': {
         'dir': 'weights',

@@ -109,6 +109,10 @@ class BaseSampleGetter:
         return image, os.path.basename(img_path), shape, bboxes, diffs
 
 
+def _device_augment(augment_cfg) -> bool:
+    return bool(getattr(augment_cfg, 'device', False))
+
+
 def _standard_train_chain(augment_cfg, input_size, extra_head=()):
     """Train chains are uint8 end-to-end: ImageNet normalization runs ON
     DEVICE (ops/preprocess.py device_normalize, dispatched by dtype in the
@@ -117,6 +121,10 @@ def _standard_train_chain(augment_cfg, input_size, extra_head=()):
     distribution as the reference's host-side Normalize (the affine
     commutes with the uint8 mixup/mosaic blends; see
     tests/test_data.py::test_device_normalize_parity)."""
+    if _device_augment(augment_cfg):
+        # augment.device: every stochastic transform runs inside the
+        # jitted step (ops/augment_device.py); the host only letterboxes
+        return augment.Compose([*extra_head, augment.Resize(input_size)])
     return augment.Compose([
         *extra_head,
         augment.RandomHFlip(p=augment_cfg.hflip_p),
@@ -136,6 +144,8 @@ def _compose_chain(augment_cfg, sampler, input_size):
     dataset/voc_sample.py:64-74). Both stages blend uint8 (one fused
     cv2.addWeighted instead of three float-image passes); normalization
     happens on device (see _standard_train_chain)."""
+    if _device_augment(augment_cfg):
+        return []  # mosaic/mixup run on device (ops/augment_device.py)
     chain = []
     if _mosaic_p(augment_cfg) > 0:
         chain.append(augment.Mosaic(sampler, size=input_size,

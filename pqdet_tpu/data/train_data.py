@@ -161,6 +161,10 @@ class TrainData:
             raise ValueError(f"system.label_assign must be 'device' or "
                              f"'host', got {mode!r}")
         self._device_labels = mode == 'device'
+        if getattr(config.augment, 'device', False) and not self._device_labels:
+            raise ValueError(
+                "augment.device=on needs system.label_assign='device': the "
+                'host assigner cannot see boxes transformed on device')
         if self._batch_size % num_hosts:
             raise ValueError(f'train.batch_size={self._batch_size} must be '
                              f'divisible by num_hosts={num_hosts}')
@@ -232,7 +236,13 @@ class TrainData:
         if len(bboxes) == 0:
             bboxes = np.zeros((0, 6), np.float32)
         if self._device_labels:
-            bboxes = np.asarray(bboxes, np.float32).reshape(-1, 6)
+            bboxes = np.asarray(bboxes, np.float32)
+            if bboxes.shape[-1] == 5:
+                # augment.device chains skip host Mixup (the weight-column
+                # producer): weights default to 1, set on device instead
+                bboxes = np.concatenate(
+                    [bboxes, np.ones((len(bboxes), 1), np.float32)], axis=-1)
+            bboxes = bboxes.reshape(-1, 6)
             gt = np.zeros((self._max_gt, 6), np.float32)
             n = min(len(bboxes), self._max_gt)
             gt[:n] = bboxes[:n]

@@ -1,0 +1,400 @@
+"""On-device training augmentation (opt-in: ``augment.device: on``).
+
+The reference augments per sample on the host with cv2/numpy
+(dataset/augment.py, dataset/voc_sample.py:64-74). That chain is the
+measured bottleneck of loader-bound hosts: mosaic quadruples and mixup
+doubles the per-sample decode+transform work, so a 1-core host feeds only
+~222 imgs/s against a >395 imgs/s device step (STATUS host-pipeline
+section). TPU-natively the host does exactly ONE cached-decode + letterbox
+per sample and ships raw uint8; every stochastic transform runs batched
+inside the jitted train step where its cost is a few fused elementwise /
+gather passes:
+
+  hflip/vflip -> zoom-crop (SafeCrop+letterbox as one bilinear warp) ->
+  color jitter -> mosaic -> mixup -> (round to uint8 domain)
+
+Semantics per stage mirror the host chain (data/augment.py) on
+already-letterboxed sources:
+
+- flips: exact (lax.rev + the same box reflection).
+- mosaic: with input-size sources the host formula is pure placement on a
+  virtual 2S canvas + center crop — no resampling — so the device version
+  (one stacked gather, branchless quadrant select) is EXACTLY the host
+  arithmetic given the same (xc, yc); proven by
+  tests/test_augment_device.py against data/augment.py Mosaic.
+- mixup: same Beta(1.5, 1.5) blend and weight-column semantics.
+- color jitter: the host's uint8 brightness/contrast/saturation formulas
+  (incl. cv2's fixed-point RGB2GRAY rounding) in shuffled order.
+- zoom-crop: the one DOCUMENTED divergence. The host applies RandomSafeCrop
+  to the original image and letterboxes once; here sources are already
+  letterboxed, so the crop resamples a second time and the letterbox pad
+  may enter/leave the frame. Distributionally it is the same
+  "random zoom that never cuts a GT box"; bit parity is not claimed.
+
+Partner selection for mosaic/mixup draws random in-batch permutations
+(the host samples the whole dataset with replacement; within a batch of
+shuffled-with-replacement samples a random permutation is the same
+distribution). Under a sharded batch these gathers become XLA collectives
+over ICI.
+
+Boxes are (B, G, 6) [x1, y1, x2, y2, class, mixup_w] zero-padded rows;
+mosaic grows G 4x and mixup appends the partner rows — downstream
+ops/labels.py assign_labels_device handles any G. Images stay in the
+uint8 value domain (rounded at the value-changing stages like the host's
+uint8 chain) and return as uint8 for ops/preprocess.device_normalize.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _valid(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(..., G) mask of non-degenerate rows."""
+    return (boxes[..., 2] > boxes[..., 0]) & (boxes[..., 3] > boxes[..., 1])
+
+
+def _where_boxes(mask_b, a, b):
+    return jnp.where(mask_b[:, None, None], a, b)
+
+
+# --------------------------------------------------------------- flips
+
+def hflip(images, boxes, apply_b):
+    """Horizontal flip (host RandomHFlip, data/augment.py:110-121)."""
+    S = images.shape[2]
+    flipped = images[:, :, ::-1, :]
+    fb = boxes.at[..., 0].set(S - boxes[..., 2]).at[..., 2].set(S - boxes[..., 0])
+    fb = jnp.where(_valid(boxes)[..., None], fb, boxes)
+    return (jnp.where(apply_b[:, None, None, None], flipped, images),
+            _where_boxes(apply_b, fb, boxes))
+
+
+def vflip(images, boxes, apply_b):
+    S = images.shape[1]
+    flipped = images[:, ::-1, :, :]
+    fb = boxes.at[..., 1].set(S - boxes[..., 3]).at[..., 3].set(S - boxes[..., 1])
+    fb = jnp.where(_valid(boxes)[..., None], fb, boxes)
+    return (jnp.where(apply_b[:, None, None, None], flipped, images),
+            _where_boxes(apply_b, fb, boxes))
+
+
+# ----------------------------------------------------------- zoom crop
+
+def zoom_crop(images, boxes, rng, apply_b, pad_val=128.0):
+    """RandomSafeCrop + letterbox as ONE bilinear warp per sample.
+
+    Crop bounds never cut a valid GT box (host RandomSafeCrop,
+    data/augment.py:83-107); the crop is then aspect-preserving resized +
+    center-padded back to the source size (host Resize semantics,
+    data/augment.py:231-260, cv2.INTER_LINEAR pixel-center convention).
+    """
+    B, H, W = images.shape[:3]
+    kx0, ky0, kx1, ky1 = jax.random.split(rng, 4)
+    val = _valid(boxes)
+    any_box = val.any(axis=1)
+    big = jnp.float32(1e9)
+    hx0 = jnp.min(jnp.where(val, boxes[..., 0], big), axis=1)
+    hy0 = jnp.min(jnp.where(val, boxes[..., 1], big), axis=1)
+    hx1 = jnp.max(jnp.where(val, boxes[..., 2], -big), axis=1)
+    hy1 = jnp.max(jnp.where(val, boxes[..., 3], -big), axis=1)
+    # box-free samples crop around the center point (host hull fallback)
+    hx0 = jnp.where(any_box, jnp.floor(hx0), W // 2)
+    hy0 = jnp.where(any_box, jnp.floor(hy0), H // 2)
+    hx1 = jnp.where(any_box, jnp.ceil(hx1), W // 2 + 1)
+    hy1 = jnp.where(any_box, jnp.ceil(hy1), H // 2 + 1)
+
+    def ri(key, lo, hi):  # randint [lo, hi] inclusive, per sample
+        u = jax.random.uniform(key, (B,))
+        return jnp.floor(lo + u * (hi - lo + 1 - 1e-6))
+
+    x0 = ri(kx0, jnp.zeros((B,)), jnp.clip(hx0, 0, W))
+    y0 = ri(ky0, jnp.zeros((B,)), jnp.clip(hy0, 0, H))
+    x1 = ri(kx1, jnp.clip(hx1, 0, W), jnp.full((B,), W, jnp.float32))
+    y1 = ri(ky1, jnp.clip(hy1, 0, H), jnp.full((B,), H, jnp.float32))
+    cw, ch = x1 - x0, y1 - y0
+    ratio = jnp.minimum(W / cw, H / ch)
+    rw = jnp.round(ratio * cw)
+    rh = jnp.round(ratio * ch)
+    dl = jnp.floor((W - rw) / 2)
+    du = jnp.floor((H - rh) / 2)
+
+    cols = jnp.arange(W, dtype=jnp.float32)
+    rows = jnp.arange(H, dtype=jnp.float32)
+
+    def warp(img, x0i, y0i, cwi, chi, rwi, rhi, dli, dui):
+        # dst pixel center -> src coords (cv2 resize convention)
+        sx = (cols - dli + 0.5) * (cwi / rwi) - 0.5 + x0i      # (W,)
+        sy = (rows - dui + 0.5) * (chi / rhi) - 0.5 + y0i      # (H,)
+        in_x = (cols >= dli) & (cols < dli + rwi)
+        in_y = (rows >= dui) & (rows < dui + rhi)
+        sx = jnp.clip(sx, x0i, x0i + cwi - 1)
+        sy = jnp.clip(sy, y0i, y0i + chi - 1)
+        fx = jnp.floor(sx)
+        fy = jnp.floor(sy)
+        wx = (sx - fx)[None, :, None]
+        wy = (sy - fy)[:, None, None]
+        xi0 = jnp.clip(fx.astype(jnp.int32), 0, W - 1)
+        yi0 = jnp.clip(fy.astype(jnp.int32), 0, H - 1)
+        xi1 = jnp.clip(xi0 + 1, 0, W - 1)
+        yi1 = jnp.clip(yi0 + 1, 0, H - 1)
+        g = lambda yi, xi: img[yi[:, None], xi[None, :], :]
+        out = (g(yi0, xi0) * (1 - wy) * (1 - wx) + g(yi0, xi1) * (1 - wy) * wx
+               + g(yi1, xi0) * wy * (1 - wx) + g(yi1, xi1) * wy * wx)
+        inside = (in_y[:, None] & in_x[None, :])[..., None]
+        return jnp.where(inside, out, pad_val)
+
+    warped = jax.vmap(warp)(images, x0, y0, cw, ch, rw, rh, dl, du)
+    nb = boxes
+    nb = nb.at[..., 0].set((boxes[..., 0] - x0[:, None]) * ratio[:, None] + dl[:, None])
+    nb = nb.at[..., 2].set((boxes[..., 2] - x0[:, None]) * ratio[:, None] + dl[:, None])
+    nb = nb.at[..., 1].set((boxes[..., 1] - y0[:, None]) * ratio[:, None] + du[:, None])
+    nb = nb.at[..., 3].set((boxes[..., 3] - y0[:, None]) * ratio[:, None] + du[:, None])
+    nb = jnp.where(val[..., None], nb, boxes)
+    return (jnp.where(apply_b[:, None, None, None], warped, images),
+            _where_boxes(apply_b, nb, boxes))
+
+
+# -------------------------------------------------------- color jitter
+
+def _cv2_gray(img):
+    """cv2(IPP) RGB2GRAY fixed point: (R*9798+G*19235+B*3735+16384)>>15 —
+    verified bit-exact against cv2.cvtColor over 100k random pixels (the
+    generic OpenCV shift-14 constants differ by 1 on ~0.3% of pixels).
+    All intermediates are integers < 2^24, exact in f32."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    return jnp.floor((r * 9798. + g * 19235. + b * 3735. + 16384.) / 32768.)
+
+
+def color_jitter(images, rng, apply_b, brightness=(-0.1, 0.1),
+                 contrast=(0.8, 1.2), saturation=(0.1, 2.0)):
+    """Brightness/contrast/saturation in random order — the host's uint8
+    integer formulas (data/augment.py:138-169) in float: brightness adds a
+    rounded offset then clips; contrast scales, clips, truncates;
+    saturation blends with the cv2-rounded gray then clips+truncates."""
+    B = images.shape[0]
+    kb, kc, ks, ko = jax.random.split(rng, 4)
+    bf = jnp.round(jax.random.uniform(kb, (B,), minval=brightness[0],
+                                      maxval=brightness[1]) * 255.)
+    cf = jax.random.uniform(kc, (B,), minval=contrast[0], maxval=contrast[1])
+    sf = jax.random.uniform(ks, (B,), minval=saturation[0],
+                            maxval=saturation[1])
+    order = jax.random.randint(ko, (B,), 0, 6)
+
+    def _b(img, i):
+        return jnp.clip(img + bf[i], 0., 255.)
+
+    def _c(img, i):
+        return jnp.floor(jnp.clip(img * cf[i], 0., 255.))
+
+    def _s(img, i):
+        gray = _cv2_gray(img)
+        return jnp.floor(jnp.clip(sf[i] * img + (1. - sf[i]) * gray[..., None],
+                                  0., 255.))
+
+    perms = [(_b, _c, _s), (_b, _s, _c), (_c, _b, _s),
+             (_c, _s, _b), (_s, _b, _c), (_s, _c, _b)]
+
+    def one(img, o, i):
+        def mk(p):
+            def f(_):
+                x = img
+                for op in p:
+                    x = op(x, i)
+                return x
+            return f
+        return jax.lax.switch(o, [mk(p) for p in perms], None)
+
+    out = jax.vmap(one)(images, order, jnp.arange(B))
+    return jnp.where(apply_b[:, None, None, None], out, images)
+
+
+# -------------------------------------------------------------- mosaic
+
+def mosaic_place(images4, boxes4, xc, yc):
+    """The pure mosaic placement: 4 input-size sources onto the virtual
+    (2S, 2S) canvas, center-cropped to (S, S) — exactly the host formula
+    (data/augment.py:341-405) which, with full-size sources, never
+    resamples and never exposes the canvas pad.
+
+    images4: (B, 4, S, S, 3); boxes4: (B, 4, G, 6); xc/yc: (B,) int in
+    [S/2, 3S/2). Returns (B, S, S, 3) images and (B, 4G, 6) boxes.
+    """
+    B, _, S = images4.shape[:3]
+    G = boxes4.shape[2]
+    half = S // 2
+    vx = jnp.arange(S) + half                     # virtual-frame coords
+    vy = jnp.arange(S) + half
+
+    def one(img4, bx4, xci, yci):
+        qx = (vx >= xci).astype(jnp.int32)        # (S,) 0=left 1=right
+        qy = (vy >= yci).astype(jnp.int32)
+        k = qy[:, None] * 2 + qx[None, :]         # (S, S) source index
+        sx = vx[None, :] - xci + (1 - qx)[None, :] * S   # (1, S) + select
+        sy = vy[:, None] - yci + (1 - qy)[:, None] * S
+        sx = jnp.clip(jnp.broadcast_to(sx, (S, S)), 0, S - 1)
+        sy = jnp.clip(jnp.broadcast_to(sy, (S, S)), 0, S - 1)
+        out = img4[k, sy, sx, :]                  # one stacked gather
+
+        # boxes: per-source clip to the pasted rect, then the source->
+        # virtual offset, then the center-crop shift (host lines 392-404)
+        xcf = xci.astype(jnp.float32)
+        ycf = yci.astype(jnp.float32)
+        Sf = jnp.float32(S)
+        obs = []
+        for kk in range(4):
+            right = kk % 2 == 1
+            bottom = kk >= 2
+            # x-extent of the pasted source rect, source frame
+            xb0 = jnp.where(right, 0., jnp.maximum(Sf - xcf, 0.))
+            xb2 = jnp.where(right, jnp.minimum(Sf, 2 * Sf - xcf), Sf)
+            yb0 = jnp.where(bottom, 0., jnp.maximum(Sf - ycf, 0.))
+            yb2 = jnp.where(bottom, jnp.minimum(Sf, 2 * Sf - ycf), Sf)
+            offx = jnp.where(right, xcf, xcf - Sf)
+            offy = jnp.where(bottom, ycf, ycf - Sf)
+            b = bx4[kk]
+            nb = b.at[:, 0].set(jnp.clip(b[:, 0], xb0, xb2) + offx)
+            nb = nb.at[:, 2].set(jnp.clip(b[:, 2], xb0, xb2) + offx)
+            nb = nb.at[:, 1].set(jnp.clip(b[:, 1], yb0, yb2) + offy)
+            nb = nb.at[:, 3].set(jnp.clip(b[:, 3], yb0, yb2) + offy)
+            obs.append(nb)
+        nb = jnp.concatenate(obs, axis=0)          # (4G, 6) virtual frame
+        merged = nb
+        merged = merged.at[:, 0].set(jnp.clip(nb[:, 0] - Sf / 2, 0, Sf))
+        merged = merged.at[:, 2].set(jnp.clip(nb[:, 2] - Sf / 2, 0, Sf))
+        merged = merged.at[:, 1].set(jnp.clip(nb[:, 1] - Sf / 2, 0, Sf))
+        merged = merged.at[:, 3].set(jnp.clip(nb[:, 3] - Sf / 2, 0, Sf))
+
+        # degenerate-box filter (host filter_degenerate_boxes with mosaic
+        # thresholds iou 0.2 / area 25 / aspect 10, augment.py:27-40)
+        orig = bx4.reshape(4 * G, 6)
+        w = merged[:, 2] - merged[:, 0]
+        h = merged[:, 3] - merged[:, 1]
+        area = w * h
+        area0 = (orig[:, 2] - orig[:, 0]) * (orig[:, 3] - orig[:, 1])
+        aspect = jnp.maximum(w / (h + 1e-16), h / (w + 1e-16))
+        keep = (area > 25.) & (area / (area0 + 1e-16) > 0.2) & (aspect < 10.)
+        keep &= _valid(orig)
+        return out, jnp.where(keep[:, None], merged, 0.)
+
+    return jax.vmap(one)(images4, boxes4, xc, yc)
+
+
+def mosaic(images, boxes, rng, apply_b):
+    """Batched mosaic: 3 partner sets drawn as random in-batch
+    permutations, per-sample center (xc, yc) ~ U[S/2, 3S/2) like the host
+    (data/augment.py:355-356). Non-applied samples pass through with
+    their boxes zero-padded to 4G."""
+    B, S = images.shape[0], images.shape[1]
+    G = boxes.shape[1]
+    kp, kx, ky = jax.random.split(rng, 3)
+    perms = [jax.random.permutation(k, B) for k in jax.random.split(kp, 3)]
+    images4 = jnp.stack([images] + [images[p] for p in perms], axis=1)
+    boxes4 = jnp.stack([boxes] + [boxes[p] for p in perms], axis=1)
+    xc = jax.random.randint(kx, (B,), S // 2, S + S // 2)
+    yc = jax.random.randint(ky, (B,), S // 2, S + S // 2)
+    out, ob = mosaic_place(images4, boxes4, xc, yc)
+    passthrough = jnp.pad(boxes, ((0, 0), (0, 3 * G), (0, 0)))
+    return (jnp.where(apply_b[:, None, None, None], out, images),
+            _where_boxes(apply_b, ob, passthrough))
+
+
+# --------------------------------------------------------------- mixup
+
+def mixup(images, boxes, partner_images, partner_boxes, lam, apply_b):
+    """Beta-blend with a partner sample (host Mixup,
+    data/augment.py:296-338): own boxes get weight lam, partner boxes
+    1 - lam; non-applied samples keep weight 1 and zeroed partner rows."""
+    lam_i = jnp.where(apply_b, lam, 1.0)
+    out = (images * lam_i[:, None, None, None]
+           + partner_images * (1. - lam_i)[:, None, None, None])
+    out = jnp.round(out)  # cv2.addWeighted rounds to uint8
+    own = boxes.at[..., 5].set(jnp.where(_valid(boxes),
+                                         lam_i[:, None], 0.))
+    own = jnp.where(_valid(boxes)[..., None], own, boxes)
+    pb = partner_boxes.at[..., 5].set(jnp.where(_valid(partner_boxes),
+                                                (1. - lam_i)[:, None], 0.))
+    pb = jnp.where(_valid(partner_boxes)[..., None], pb, partner_boxes)
+    pb = jnp.where(apply_b[:, None, None], pb, jnp.zeros_like(pb))
+    return (jnp.where(apply_b[:, None, None, None], out, images),
+            jnp.concatenate([own, pb], axis=1))
+
+
+# ---------------------------------------------------------- the chain
+
+class AugmentParams(NamedTuple):
+    hflip_p: float = 0.5
+    vflip_p: float = 0.0
+    crop_p: float = 0.75
+    color_p: float = 0.0
+    mosaic_p: float = 0.0
+    mixup_p: float = 0.5
+    mixup_beta: float = 1.5
+
+
+def device_augment(images: jnp.ndarray, gt: jnp.ndarray, rng,
+                   params: AugmentParams):
+    """uint8 letterboxed batch + padded GT -> augmented uint8 batch +
+    grown padded GT (see module docstring for the stage semantics).
+
+    Stage order matches the host chain (samples.py _standard_train_chain +
+    _compose_chain): flips -> crop -> jitter -> mosaic -> mixup. Zero
+    probabilities skip their stage at trace time, so the default config
+    pays only for what it uses.
+    """
+    B = images.shape[0]
+    G = gt.shape[1]
+    keys = jax.random.split(rng, 12)
+    img = images.astype(jnp.float32)
+    boxes = gt.astype(jnp.float32)
+    pre_img, pre_boxes = img, boxes
+
+    def bern(key, p):
+        return jax.random.uniform(key, (B,)) < p
+
+    if params.hflip_p > 0:
+        img, boxes = hflip(img, boxes, bern(keys[0], params.hflip_p))
+    if params.vflip_p > 0:
+        img, boxes = vflip(img, boxes, bern(keys[1], params.vflip_p))
+    if params.crop_p > 0:
+        img, boxes = zoom_crop(img, boxes, keys[2], bern(keys[3], params.crop_p))
+        img = jnp.round(img)  # back to the uint8 value domain
+    if params.color_p > 0:
+        img = color_jitter(img, keys[4], bern(keys[5], params.color_p))
+    if params.mixup_p > 0:
+        # the host mixup partner is a BASE sample (standard chain only,
+        # samples.py _compose_chain) — snapshot before mosaic
+        pre_img, pre_boxes = img, boxes
+    if params.mosaic_p > 0:
+        img, boxes = mosaic(img, boxes, keys[6], bern(keys[7], params.mosaic_p))
+    if params.mixup_p > 0:
+        perm = jax.random.permutation(keys[8], B)
+        lam = jax.random.beta(keys[9], params.mixup_beta, params.mixup_beta,
+                              (B,))
+        img, boxes = mixup(img, boxes, pre_img[perm], pre_boxes[perm],
+                           lam, bern(keys[10], params.mixup_p))
+    else:
+        # weight column defaults to 1 for valid rows (host Mixup applies
+        # the weight even when it passes through)
+        boxes = boxes.at[..., 5].set(jnp.where(_valid(boxes), 1., 0.))
+    img = jnp.clip(jnp.round(img), 0., 255.).astype(jnp.uint8)
+    return img, boxes
+
+
+def augmenter_from_config(config):
+    """(images_u8, gt, rng) -> (images_u8, gt') closure bound to the
+    augment config group, for use inside the jitted train step."""
+    a = config.augment
+    params = AugmentParams(
+        hflip_p=float(a.hflip_p), vflip_p=float(a.vflip_p),
+        crop_p=float(a.crop_p), color_p=float(a.color_p),
+        mosaic_p=float(getattr(a, 'mosaic_p', 0.0)),
+        mixup_p=float(a.mixup_p))
+
+    def fn(images, gt, rng):
+        return device_augment(images, gt, rng, params)
+    return fn

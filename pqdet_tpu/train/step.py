@@ -90,7 +90,8 @@ def make_train_step(network: DetectionNetwork, optimizer,
                     sparse_ratio: float = 0.0,
                     sparse_ids: Optional[Set[str]] = None,
                     compute_dtype=None, remat: int = 0,
-                    dense_groups: bool = True, label_fn=None):
+                    dense_groups: bool = True, label_fn=None,
+                    augment_fn=None):
     """Build the pure (params, state, opt_state, batch, rng) -> ... step.
 
     batch: dict with 'image' (B,H,W,3) and either 'targets' = 6-tuple of
@@ -124,6 +125,14 @@ def make_train_step(network: DetectionNetwork, optimizer,
         fwd = jax.checkpoint(fwd)
 
     def loss_fn(params, state, batch, rng):
+        if augment_fn is not None and 'gt' in batch:
+            # on-device augmentation (ops/augment_device.py): transforms
+            # the uint8 batch + GT boxes before normalize/label-assign
+            arng, rng = jax.random.split(rng)
+            raw, gt = augment_fn(batch['image'], batch['gt'], arng)
+            image = device_normalize(raw)
+            targets = label_fn(gt, image.shape[1:3])
+            return fwd(params, state, image, targets, rng)
         # uint8 batches normalize on device (ops/preprocess.py); float
         # batches were normalized on host and pass through
         image = device_normalize(batch['image'])

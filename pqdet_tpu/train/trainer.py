@@ -140,6 +140,10 @@ class Trainer:
 
         from pqdet_tpu.ops.labels import label_assigner_from_config
         self._label_fn = label_assigner_from_config(self.config)
+        self._augment_fn = None
+        if getattr(self.config.augment, 'device', False):
+            from pqdet_tpu.ops.augment_device import augmenter_from_config
+            self._augment_fn = augmenter_from_config(self.config)
         if self._quant:
             # jit specialises on the observer/BN-freeze phase flags; the
             # step is re-jitted when the schedule flips them (the closure
@@ -151,7 +155,7 @@ class Trainer:
                 sparse_ratio=self._sparse_ratio if self._sparse else 0.0,
                 sparse_ids=sparse_ids, compute_dtype=self._compute_dtype,
                 remat=int(getattr(self.config.train, 'remat', 0)),
-                label_fn=self._label_fn)
+                label_fn=self._label_fn, augment_fn=self._augment_fn)
             self._make_jstep = lambda: _jit(step_fn)
         self.jstep = self._make_jstep()
 
@@ -180,9 +184,16 @@ class Trainer:
             def loss_fn(p):
                 from pqdet_tpu.ops.preprocess import device_normalize
                 ctx = QuantCtx(state['quant'], observing=observing)
-                image = device_normalize(batch['image'])
-                targets = batch['targets'] if 'targets' in batch \
-                    else trainer._label_fn(batch['gt'], image.shape[1:3])
+                if trainer._augment_fn is not None and 'gt' in batch:
+                    arng, _ = jax.random.split(rng)
+                    raw, gt = trainer._augment_fn(batch['image'],
+                                                  batch['gt'], arng)
+                    image = device_normalize(raw)
+                    targets = trainer._label_fn(gt, image.shape[1:3])
+                else:
+                    image = device_normalize(batch['image'])
+                    targets = batch['targets'] if 'targets' in batch \
+                        else trainer._label_fn(batch['gt'], image.shape[1:3])
                 losses, new_state = network.apply(
                     p, state, image,
                     targets=targets,
