@@ -210,6 +210,13 @@ DEFAULTS: Dict[str, Any] = {
         # amortises per-dispatch marshalling; multi-scale sizes are then
         # drawn per group of unroll_steps batches instead of per batch)
         'unroll_steps': 1,
+        # spatial partitioning: shard the image HEIGHT axis over this many
+        # mesh positions (0/1 = off). The mesh becomes
+        # (data x spatial) and XLA inserts conv halo exchanges — the
+        # model-parallel axis for very large inputs (see
+        # parallel/mesh.py make_mesh_2d). Needs the default
+        # system.label_assign=device batch format; excludes unroll_steps>1.
+        'spatial': 0,
         # activation rematerialisation (jax.checkpoint) for the backward
         # pass: N >= 2 runs the graph walk as N checkpointed segments
         # (only boundary activations stored; ~1 extra forward of FLOPs).

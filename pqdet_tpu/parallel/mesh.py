@@ -15,6 +15,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = 'data'
+SPACE_AXIS = 'space'
 
 
 def make_mesh(num_devices: int = 0, devices=None) -> Mesh:
@@ -24,6 +25,34 @@ def make_mesh(num_devices: int = 0, devices=None) -> Mesh:
     if num_devices:
         devices = devices[:num_devices]
     return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def make_mesh_2d(n_data: int, n_space: int, devices=None) -> Mesh:
+    """('data', 'space') mesh: batch shards over 'data', the image HEIGHT
+    axis over 'space' (XLA GSPMD inserts the conv halo exchanges). Spatial
+    partitioning is the model-parallel axis that matters for a conv
+    detector — it lifts the per-chip memory/latency ceiling for LARGE
+    inputs (e.g. 1280px) where a batch shard alone still does not fit or
+    a single image's latency matters. Adjacent mesh positions along
+    'space' exchange halos every conv, so keep 'space' the minor
+    (fastest-varying, ICI-neighbour) axis."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_data * n_space
+    if len(devices) < need:
+        raise ValueError(f'mesh {n_data}x{n_space} needs {need} devices, '
+                         f'have {len(devices)}')
+    return Mesh(np.array(devices[:need]).reshape(n_data, n_space),
+                (DATA_AXIS, SPACE_AXIS))
+
+
+def spatial_batch_shardings(mesh: Mesh) -> dict:
+    """Per-leaf shardings for the production gt-mode batch on a 2-D mesh:
+    images (B, H, W, C) shard batch x height; the padded GT boxes
+    (B, G, 6) shard batch only (replicated over 'space' — the label grids
+    they expand to are small)."""
+    return {'image': NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS)),
+            'gt': NamedSharding(mesh, P(DATA_AXIS))}
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

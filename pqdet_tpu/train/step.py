@@ -183,15 +183,19 @@ def make_multi_step(train_step, unroll: int):
     return multi_step
 
 
-def jit_train_step(train_step, mesh, unroll: int = 1):
+def jit_train_step(train_step, mesh, unroll: int = 1, batch_shardings=None):
     """jit with explicit shardings: batch sharded over the data axis,
     params/state/opt replicated; donates the carried pytrees. With
     unroll > 1 the step must be a make_multi_step and batches carry a
-    leading scan axis."""
+    leading scan axis. ``batch_shardings`` overrides the batch slot with a
+    per-leaf pytree (e.g. parallel.mesh.spatial_batch_shardings for a
+    ('data', 'space') mesh where images also shard their height axis)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(DATA_AXIS) if unroll == 1
-                         else P(None, DATA_AXIS))
+    data = batch_shardings
+    if data is None:
+        data = NamedSharding(mesh, P(DATA_AXIS) if unroll == 1
+                             else P(None, DATA_AXIS))
     return jax.jit(
         train_step,
         in_shardings=(repl, repl, repl, data, repl),

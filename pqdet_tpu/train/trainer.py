@@ -90,8 +90,29 @@ class Trainer:
             n_dev = fit_mesh_to_batch(self.config.train.batch_size,
                                       self.config.system.data_devices)
             self.mesh = make_mesh(n_dev)
-        self._repl = replicated(self.mesh)
-        self._data_sh = batch_sharding(self.mesh)
+        self._spatial = int(getattr(self.config.train, 'spatial', 0))
+        if self._spatial > 1:
+            # (data x space) mesh: images also shard their height axis
+            # (parallel/mesh.py make_mesh_2d). gt-mode batches only.
+            from pqdet_tpu.parallel.mesh import (make_mesh_2d,
+                                                 spatial_batch_shardings)
+            if self._n_proc > 1:
+                raise ValueError('train.spatial is single-host scoped')
+            if getattr(self.config.system, 'label_assign', 'host') != 'device':
+                raise ValueError("train.spatial needs "
+                                 "system.label_assign='device'")
+            if getattr(self.config.train, 'unroll_steps', 1) > 1:
+                raise ValueError('train.spatial excludes unroll_steps > 1')
+            import jax as _jax
+            avail = len(_jax.devices())
+            n_data = fit_mesh_to_batch(self.config.train.batch_size,
+                                       max(avail // self._spatial, 1))
+            self.mesh = make_mesh_2d(n_data, self._spatial)
+            self._repl = replicated(self.mesh)
+            self._data_sh = spatial_batch_shardings(self.mesh)
+        else:
+            self._repl = replicated(self.mesh)
+            self._data_sh = batch_sharding(self.mesh)
 
         self.train_data = TrainData(self.config, num_hosts=self._n_proc,
                                     host_id=jax.process_index())
@@ -136,7 +157,10 @@ class Trainer:
             from pqdet_tpu.train.step import make_multi_step
             if self._unroll > 1:
                 step_fn = make_multi_step(step_fn, self._unroll)
-            return jit_train_step(step_fn, self.mesh, unroll=self._unroll)
+            # _data_sh doubles as the explicit batch sharding (per-leaf
+            # pytree under train.spatial, plain batch sharding otherwise)
+            return jit_train_step(step_fn, self.mesh, unroll=self._unroll,
+                                  batch_shardings=self._data_sh)
 
         from pqdet_tpu.ops.labels import label_assigner_from_config
         self._label_fn = label_assigner_from_config(self.config)
@@ -369,6 +393,10 @@ class Trainer:
         if self._n_proc > 1:
             from pqdet_tpu.parallel.mesh import host_local_batch_to_global
             return host_local_batch_to_global(self.mesh, batch, self._data_sh)
+        if isinstance(self._data_sh, dict):  # train.spatial: per-leaf
+            return jax.tree.map(
+                lambda x, sh: jax.device_put(jnp.asarray(x), sh),
+                batch, self._data_sh)
         return jax.tree.map(
             lambda x: jax.device_put(jnp.asarray(x), self._data_sh), batch)
 
