@@ -85,6 +85,37 @@ def vflip(images, boxes, apply_b):
 
 # ----------------------------------------------------------- zoom crop
 
+def _letterbox_warp(img, x0i, y0i, cwi, chi, rwi, rhi, dli, dui,
+                    pad_val=128.0):
+    """Crop rect [x0, x0+cw) x [y0, y0+ch) of one (H, W, 3) image,
+    bilinear-resized to (rh, rw) and center-placed at (du, dl) on a
+    pad_val canvas — the host's SafeCrop slice + Resize letterbox
+    (cv2.INTER_LINEAR pixel-center convention) as one fixed-shape warp."""
+    H, W = img.shape[:2]
+    cols = jnp.arange(W, dtype=jnp.float32)
+    rows = jnp.arange(H, dtype=jnp.float32)
+    # dst pixel center -> src coords (cv2 resize convention)
+    sx = (cols - dli + 0.5) * (cwi / rwi) - 0.5 + x0i      # (W,)
+    sy = (rows - dui + 0.5) * (chi / rhi) - 0.5 + y0i      # (H,)
+    in_x = (cols >= dli) & (cols < dli + rwi)
+    in_y = (rows >= dui) & (rows < dui + rhi)
+    sx = jnp.clip(sx, x0i, x0i + cwi - 1)
+    sy = jnp.clip(sy, y0i, y0i + chi - 1)
+    fx = jnp.floor(sx)
+    fy = jnp.floor(sy)
+    wx = (sx - fx)[None, :, None]
+    wy = (sy - fy)[:, None, None]
+    xi0 = jnp.clip(fx.astype(jnp.int32), 0, W - 1)
+    yi0 = jnp.clip(fy.astype(jnp.int32), 0, H - 1)
+    xi1 = jnp.clip(xi0 + 1, 0, W - 1)
+    yi1 = jnp.clip(yi0 + 1, 0, H - 1)
+    g = lambda yi, xi: img[yi[:, None], xi[None, :], :]
+    out = (g(yi0, xi0) * (1 - wy) * (1 - wx) + g(yi0, xi1) * (1 - wy) * wx
+           + g(yi1, xi0) * wy * (1 - wx) + g(yi1, xi1) * wy * wx)
+    inside = (in_y[:, None] & in_x[None, :])[..., None]
+    return jnp.where(inside, out, pad_val)
+
+
 def zoom_crop(images, boxes, rng, apply_b, pad_val=128.0):
     """RandomSafeCrop + letterbox as ONE bilinear warp per sample.
 
@@ -123,32 +154,9 @@ def zoom_crop(images, boxes, rng, apply_b, pad_val=128.0):
     dl = jnp.floor((W - rw) / 2)
     du = jnp.floor((H - rh) / 2)
 
-    cols = jnp.arange(W, dtype=jnp.float32)
-    rows = jnp.arange(H, dtype=jnp.float32)
-
-    def warp(img, x0i, y0i, cwi, chi, rwi, rhi, dli, dui):
-        # dst pixel center -> src coords (cv2 resize convention)
-        sx = (cols - dli + 0.5) * (cwi / rwi) - 0.5 + x0i      # (W,)
-        sy = (rows - dui + 0.5) * (chi / rhi) - 0.5 + y0i      # (H,)
-        in_x = (cols >= dli) & (cols < dli + rwi)
-        in_y = (rows >= dui) & (rows < dui + rhi)
-        sx = jnp.clip(sx, x0i, x0i + cwi - 1)
-        sy = jnp.clip(sy, y0i, y0i + chi - 1)
-        fx = jnp.floor(sx)
-        fy = jnp.floor(sy)
-        wx = (sx - fx)[None, :, None]
-        wy = (sy - fy)[:, None, None]
-        xi0 = jnp.clip(fx.astype(jnp.int32), 0, W - 1)
-        yi0 = jnp.clip(fy.astype(jnp.int32), 0, H - 1)
-        xi1 = jnp.clip(xi0 + 1, 0, W - 1)
-        yi1 = jnp.clip(yi0 + 1, 0, H - 1)
-        g = lambda yi, xi: img[yi[:, None], xi[None, :], :]
-        out = (g(yi0, xi0) * (1 - wy) * (1 - wx) + g(yi0, xi1) * (1 - wy) * wx
-               + g(yi1, xi0) * wy * (1 - wx) + g(yi1, xi1) * wy * wx)
-        inside = (in_y[:, None] & in_x[None, :])[..., None]
-        return jnp.where(inside, out, pad_val)
-
-    warped = jax.vmap(warp)(images, x0, y0, cw, ch, rw, rh, dl, du)
+    warped = jax.vmap(
+        lambda img, *a: _letterbox_warp(img, *a, pad_val=pad_val)
+    )(images, x0, y0, cw, ch, rw, rh, dl, du)
     nb = boxes
     nb = nb.at[..., 0].set((boxes[..., 0] - x0[:, None]) * ratio[:, None] + dl[:, None])
     nb = nb.at[..., 2].set((boxes[..., 2] - x0[:, None]) * ratio[:, None] + dl[:, None])

@@ -297,3 +297,24 @@ def test_train_step_with_device_augment_runs_sharded():
             jax.tree.map(lambda a, c: bool(np.abs(a - c).max() > 0),
                          params_np, jax.device_get(p2))))
     assert moved
+
+
+def test_letterbox_warp_matches_host_crop_resize():
+    """Force the same crop rect through the host SafeCrop-slice + Resize
+    letterbox and the device warp: pixels must agree within cv2's
+    fixed-point interpolation rounding (<= 2 levels)."""
+    S = 96
+    rng = np.random.default_rng(9)
+    img = _rand_img(rng, S)
+    for (x0, y0, x1, y1) in [(10, 4, 80, 90), (0, 0, 96, 96), (33, 17, 60, 45)]:
+        crop = img[y0:y1, x0:x1]
+        himg, _ = augment.Resize((S, S))(crop.copy(), [])
+        cw, ch = float(x1 - x0), float(y1 - y0)
+        ratio = min(S / cw, S / ch)
+        rw, rh = round(ratio * cw), round(ratio * ch)
+        dl, du = (S - rw) // 2, (S - rh) // 2
+        dev = np.asarray(jax.jit(ad._letterbox_warp)(
+            jnp.asarray(img, jnp.float32), float(x0), float(y0), cw, ch,
+            float(rw), float(rh), float(dl), float(du)))
+        assert np.abs(np.round(dev) - himg.astype(np.float64)).max() <= 2, \
+            f'rect {(x0, y0, x1, y1)}'
