@@ -18,7 +18,7 @@ import numpy as np
 
 
 def _setup(batch_size, size, remat=0, model='mobilenetv2-fpn',
-           dense_groups=True, gt_mode=True):
+           dense_groups=True, gt_mode=True, device_augment=False):
     """gt_mode=True (default) benches the PRODUCTION batch format: uint8
     images + padded GT boxes, normalize + label grids built on device
     (ops/preprocess.py, ops/labels.py). gt_mode=False benches the
@@ -38,9 +38,17 @@ def _setup(batch_size, size, remat=0, model='mobilenetv2-fpn',
     params, state = net.init(jax.random.PRNGKey(0))
     opt = make_optimizer(cosine_warmup(2e-4, 1e-6, 500, 50000))
     opt_state = opt.init(params)
+    augment_fn = None
+    if device_augment:
+        from pqdet_tpu.ops.augment_device import (AugmentParams,
+                                                  device_augment as _aug)
+        ap = AugmentParams(hflip_p=0.5, crop_p=0.75, mosaic_p=0.5,
+                           mixup_p=0.5)
+        augment_fn = lambda i, g, r: _aug(i, g, r, ap)
     step = make_train_step(net, opt, compute_dtype=jnp.bfloat16, remat=remat,
                            dense_groups=dense_groups,
-                           label_fn=label_assigner_from_config(default_config()))
+                           label_fn=label_assigner_from_config(default_config()),
+                           augment_fn=augment_fn)
     mesh = make_mesh()
     jstep = jit_train_step(step, mesh)
 
@@ -83,6 +91,18 @@ def throughput():
             dt = _time_steps(jstep, carry, batch)
             print(f'bs={bs} @512 bf16 [{tag}]: {dt * 1e3:.1f} ms/step '
                   f'({bs / dt:.0f} imgs/s)', flush=True)
+
+
+def augment_ab(bs=16, size=512):
+    """Device-side augmentation step cost: the full train step with
+    augment.device's chain (flip/crop/jitter-off/mosaic/mixup) inside the
+    jit vs without — the delta is what the chip pays so the 1-core host
+    can feed ~1000 imgs/s instead of 216 (tools/bench_loader.py)."""
+    for tag, aug in (('no-aug ', False), ('dev-aug', True)):
+        jstep, carry, batch = _setup(bs, size, device_augment=aug)
+        dt = _time_steps(jstep, carry, batch)
+        print(f'bs={bs} @{size} bf16 [{tag}]: {dt * 1e3:.1f} ms/step '
+              f'({bs / dt:.0f} imgs/s)', flush=True)
 
 
 def remat_probe():
@@ -194,5 +214,7 @@ if __name__ == '__main__':
     elif mode == 'profile':
         profile(model=sys.argv[2] if len(sys.argv) > 2 else 'mobilenetv2-fpn',
                 bs=int(sys.argv[3]) if len(sys.argv) > 3 else 32)
+    elif mode == 'augment':
+        augment_ab(bs=int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     else:
         {'throughput': throughput, 'remat': remat_probe}[mode]()
