@@ -144,6 +144,21 @@ def run_train(cmd, log, exp):
             time.sleep(30)  # don't hot-loop on a flapping tunnel
 
 
+def last_split(log):
+    """Last per-epoch 'data load time: Xs, model train time: Ys' pair the
+    trainer printed — the loader-vs-device split (reference
+    trainer.py:287-289)."""
+    dl = mt = None
+    import re
+    with open(log) as f:
+        for line in f:
+            m = re.search(r'data load time: ([0-9.]+)s, '
+                          r'model train time: ([0-9.]+)s', line)
+            if m:
+                dl, mt = float(m.group(1)), float(m.group(2))
+    return dl, mt
+
+
 def last_ap(log):
     """Parse the final AP table (evaluator.format_ap_table): the 'mAPs'
     row holds per-IoU APs x100 then the mean AP — first col is AP50."""
@@ -178,7 +193,9 @@ def main():
                        + EXTRA, os.path.join(LOGDIR, 'ladder_fp.log'),
                        'clutter_mobilenetv2_fpn')
         ap50, ap = last_ap(os.path.join(LOGDIR, 'ladder_fp.log'))
+        dl, mt = last_split(os.path.join(LOGDIR, 'ladder_fp.log'))
         record('fp', ap50=ap50, ap=ap, minutes=round(dt / 60, 1),
+               dataload_s=dl, model_s=mt,
                ckpt=newest_ckpt('clutter_mobilenetv2_fpn'))
 
     if 'sparse' in stages:
@@ -192,7 +209,9 @@ def main():
                   'eval.after', '5'] + EXTRA,
                  os.path.join(LOGDIR, 'ladder_sparse.log'), 'clutter_sparse')
         ap50, ap = last_ap(os.path.join(LOGDIR, 'ladder_sparse.log'))
+        dl, mt = last_split(os.path.join(LOGDIR, 'ladder_sparse.log'))
         record('sparse', ap50=ap50, ap=ap, minutes=round(dt / 60, 1),
+               dataload_s=dl, model_s=mt,
                ckpt=newest_ckpt('clutter_sparse'))
 
     if 'prune' in stages:
