@@ -116,6 +116,43 @@ def _letterbox_warp(img, x0i, y0i, cwi, chi, rwi, rhi, dli, dui,
     return jnp.where(inside, out, pad_val)
 
 
+def _axis_weights(n, lo, extent, r_ext, d0):
+    """(n_out, n_in) bilinear interpolation matrix for one axis of the
+    letterbox warp: output pixel centers map to src = (i - d0 + 0.5) *
+    (extent / r_ext) - 0.5 + lo (cv2 resize convention), edge-clamped to
+    the crop; rows outside the resized content are all-zero (the caller
+    adds pad_val there via the row-weight complement). Every entry has at
+    most two non-zeros — the matrix IS the bilinear gather, expressed so
+    the warp runs as matmuls on the MXU instead of per-pixel gathers on
+    the VPU."""
+    idx = jnp.arange(n, dtype=jnp.float32)
+    src = (idx - d0 + 0.5) * (extent / r_ext) - 0.5 + lo
+    src = jnp.clip(src, lo, lo + extent - 1)
+    inside = (idx >= d0) & (idx < d0 + r_ext)
+    f = jnp.floor(src)
+    frac = src - f
+    cells = jnp.arange(n, dtype=jnp.float32)
+    w = (jnp.where(cells[None, :] == f[:, None], 1 - frac[:, None], 0.)
+         + jnp.where(cells[None, :] == f[:, None] + 1, frac[:, None], 0.))
+    return jnp.where(inside[:, None], w, 0.)
+
+
+def _letterbox_warp_mm(img, x0i, y0i, cwi, chi, rwi, rhi, dli, dui,
+                       pad_val=128.0):
+    """_letterbox_warp as two interpolation matmuls (see _axis_weights).
+    Identical bilinear math; runs on the MXU. Precision pinned HIGHEST:
+    at default one-pass bf16 the 0..255 blend would quantise to ~1 part
+    in 256 and break the +-2-level parity with the host warp."""
+    H, W = img.shape[:2]
+    wy = _axis_weights(H, y0i, chi, rhi, dui)          # (H, H_in)
+    wx = _axis_weights(W, x0i, cwi, rwi, dli)          # (W, W_in)
+    out = jnp.einsum('Yh,hwc->Ywc', wy, img, precision='highest')
+    out = jnp.einsum('Xw,Ywc->YXc', wx, out, precision='highest')
+    # pad where either axis contributed nothing (outside the content box)
+    coverage = wy.sum(1)[:, None] * wx.sum(1)[None, :]
+    return out + (1. - coverage)[..., None] * pad_val
+
+
 def zoom_crop(images, boxes, rng, apply_b, pad_val=128.0):
     """RandomSafeCrop + letterbox as ONE bilinear warp per sample.
 
@@ -154,8 +191,13 @@ def zoom_crop(images, boxes, rng, apply_b, pad_val=128.0):
     dl = jnp.floor((W - rw) / 2)
     du = jnp.floor((H - rh) / 2)
 
+    # PQDET_AUG_WARP: 'mm' (default) = interpolation-matrix matmuls on the
+    # MXU; 'gather' = per-pixel bilinear gathers (same math; A/B on chip)
+    import os
+    warp = _letterbox_warp if os.environ.get('PQDET_AUG_WARP') == 'gather' \
+        else _letterbox_warp_mm
     warped = jax.vmap(
-        lambda img, *a: _letterbox_warp(img, *a, pad_val=pad_val)
+        lambda img, *a: warp(img, *a, pad_val=pad_val)
     )(images, x0, y0, cw, ch, rw, rh, dl, du)
     nb = boxes
     nb = nb.at[..., 0].set((boxes[..., 0] - x0[:, None]) * ratio[:, None] + dl[:, None])

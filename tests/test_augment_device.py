@@ -318,3 +318,23 @@ def test_letterbox_warp_matches_host_crop_resize():
             float(rw), float(rh), float(dl), float(du)))
         assert np.abs(np.round(dev) - himg.astype(np.float64)).max() <= 2, \
             f'rect {(x0, y0, x1, y1)}'
+
+
+def test_letterbox_warp_mm_equals_gather():
+    """The MXU interpolation-matmul warp computes the same bilinear math
+    as the per-pixel gather warp (f32 reassociation noise only)."""
+    S = 96
+    rng = np.random.default_rng(10)
+    img = jnp.asarray(_rand_img(rng, S), jnp.float32)
+    for (x0, y0, x1, y1) in [(10, 4, 80, 90), (0, 0, 96, 96), (33, 17, 60, 45)]:
+        cw, ch = float(x1 - x0), float(y1 - y0)
+        ratio = min(S / cw, S / ch)
+        rw, rh = round(ratio * cw), round(ratio * ch)
+        dl, du = (S - rw) // 2, (S - rh) // 2
+        a = np.asarray(jax.jit(ad._letterbox_warp)(
+            img, float(x0), float(y0), cw, ch, float(rw), float(rh),
+            float(dl), float(du)))
+        b = np.asarray(jax.jit(ad._letterbox_warp_mm)(
+            img, float(x0), float(y0), cw, ch, float(rw), float(rh),
+            float(dl), float(du)))
+        assert np.abs(a - b).max() < 0.01, f'rect {(x0, y0, x1, y1)}'
