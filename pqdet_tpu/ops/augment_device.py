@@ -246,18 +246,21 @@ def color_jitter(images, rng, apply_b, brightness=(-0.1, 0.1),
         return jnp.floor(jnp.clip(sf[i] * img + (1. - sf[i]) * gray[..., None],
                                   0., 255.))
 
-    perms = [(_b, _c, _s), (_b, _s, _c), (_c, _b, _s),
-             (_c, _s, _b), (_s, _b, _c), (_s, _c, _b)]
+    # 3 slots, each selecting one of the 3 ops per the sample's drawn
+    # permutation (a vmapped lax.switch would evaluate all 6 branch
+    # compositions = 18 image passes; this evaluates 3 ops x 3 slots = 9)
+    perm_table = jnp.asarray(np.array(
+        [[0, 1, 2], [0, 2, 1], [1, 0, 2], [1, 2, 0], [2, 0, 1], [2, 1, 0]],
+        np.int32))
 
     def one(img, o, i):
-        def mk(p):
-            def f(_):
-                x = img
-                for op in p:
-                    x = op(x, i)
-                return x
-            return f
-        return jax.lax.switch(o, [mk(p) for p in perms], None)
+        slots = perm_table[o]                       # (3,) op index per slot
+        x = img
+        for slot in range(3):
+            j = slots[slot]
+            x = jnp.where(j == 0, _b(x, i),
+                          jnp.where(j == 1, _c(x, i), _s(x, i)))
+        return x
 
     out = jax.vmap(one)(images, order, jnp.arange(B))
     return jnp.where(apply_b[:, None, None, None], out, images)
@@ -401,7 +404,6 @@ def device_augment(images: jnp.ndarray, gt: jnp.ndarray, rng,
     keys = jax.random.split(rng, 12)
     img = images.astype(jnp.float32)
     boxes = gt.astype(jnp.float32)
-    pre_img, pre_boxes = img, boxes
 
     def bern(key, p):
         return jax.random.uniform(key, (B,)) < p

@@ -103,16 +103,16 @@ class Trainer:
                                  "system.label_assign='device'")
             if getattr(self.config.train, 'unroll_steps', 1) > 1:
                 raise ValueError('train.spatial excludes unroll_steps > 1')
-            import jax as _jax
-            avail = len(_jax.devices())
+            # honor system.data_devices as the TOTAL device budget, like
+            # the non-spatial path above
+            avail = self.config.system.data_devices or len(jax.devices())
             n_data = fit_mesh_to_batch(self.config.train.batch_size,
                                        max(avail // self._spatial, 1))
             self.mesh = make_mesh_2d(n_data, self._spatial)
-            self._repl = replicated(self.mesh)
             self._data_sh = spatial_batch_shardings(self.mesh)
         else:
-            self._repl = replicated(self.mesh)
             self._data_sh = batch_sharding(self.mesh)
+        self._repl = replicated(self.mesh)
 
         self.train_data = TrainData(self.config, num_hosts=self._n_proc,
                                     host_id=jax.process_index())
@@ -208,8 +208,12 @@ class Trainer:
             def loss_fn(p):
                 from pqdet_tpu.ops.preprocess import device_normalize
                 ctx = QuantCtx(state['quant'], observing=observing)
+                net_rng = rng
                 if trainer._augment_fn is not None and 'gt' in batch:
-                    arng, _ = jax.random.split(rng)
+                    # split BOTH ways: handing the parent key to the
+                    # network would correlate dropout masks with the
+                    # augment draws (net's carried key == split(rng)[0])
+                    arng, net_rng = jax.random.split(rng)
                     raw, gt = trainer._augment_fn(batch['image'],
                                                   batch['gt'], arng)
                     image = device_normalize(raw)
@@ -221,7 +225,7 @@ class Trainer:
                 losses, new_state = network.apply(
                     p, state, image,
                     targets=targets,
-                    train=not trainer._bn_frozen, rng=rng,
+                    train=not trainer._bn_frozen, rng=net_rng,
                     compute_dtype=compute_dtype, quant_ctx=ctx)
                 new_state['quant'] = ctx.new_obs
                 return losses['loss'][0], (losses, new_state)

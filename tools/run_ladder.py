@@ -51,10 +51,18 @@ def newest_ckpt(exp):
     return max(paths, key=key)
 
 
+_OPENED = set()
+
+
 def run(cmd, log):
     print(f'>>> {" ".join(cmd)} (log {log})', flush=True)
     t0 = time.time()
-    with open(log, 'a') as fw:  # append: retries keep earlier context
+    # truncate on the stage's FIRST open this run (a stale file from a
+    # previous run would feed last_ap/last_split old metrics), append
+    # across the stage's own retries
+    mode = 'a' if log in _OPENED else 'w'
+    _OPENED.add(log)
+    with open(log, mode) as fw:
         r = subprocess.run(cmd, cwd=ROOT, stdout=fw, stderr=subprocess.STDOUT)
     dt = time.time() - t0
     if r.returncode != 0:
@@ -101,14 +109,27 @@ def run_retry(cmd, log, tries=3):
                   flush=True)
 
 
+def _backend_ok() -> bool:
+    """One-shot backend probe (no waiting)."""
+    try:
+        return subprocess.run(
+            [sys.executable, '-c', 'import jax; jax.devices()'],
+            timeout=120, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def run_train(cmd, log, exp):
     """run() with crash resilience for long train stages: on failure,
     wait until the backend answers again and relaunch resuming from the
     experiment's own newest checkpoint (weight.clear_history off so the
     step counter — and therefore the LR schedule and epoch accounting —
     continues where it left off; trailing duplicate keys win in
-    load_config). Aborts after 3 consecutive failures that made no new
-    checkpoint: that is a real bug, not a tunnel drop."""
+    load_config). Aborts after 4 consecutive failures that made no new
+    checkpoint WHILE the backend stayed up — that is a real bug, not a
+    tunnel drop (drop-induced failures, where the backend probe fails
+    right after, never count)."""
     total = 0.0
     stale = 0
     prev_ckpt = None
@@ -133,7 +154,10 @@ def run_train(cmd, log, exp):
                 cur = newest_ckpt(exp)
             except FileNotFoundError:
                 cur = None
-            stale = stale + 1 if cur == prev_ckpt else 0
+            if cur == prev_ckpt and _backend_ok():
+                stale += 1  # failed with the backend up and no progress
+            elif cur != prev_ckpt:
+                stale = 0
             prev_ckpt = cur
             if stale >= 4:
                 raise RuntimeError(
@@ -142,6 +166,69 @@ def run_train(cmd, log, exp):
             if attempt == RETRIES:
                 raise
             time.sleep(30)  # don't hot-loop on a flapping tunnel
+
+
+def _eff(cmd, key, default=None):
+    """Effective value of a duplicated trailing override (last wins)."""
+    vals = [cmd[i + 1] for i, t in enumerate(cmd[:-1]) if t == key]
+    return vals[-1] if vals else default
+
+
+def run_prune_stage(cmd, log, exp='clutter_pruneft'):
+    """cli.prune with resume-aware retries. The stage is prune-rebuild
+    (cheap) + a FULL fine-tune training run; rerunning it from scratch on
+    a tunnel drop would repeat hours of fine-tuning. Once the fine-tune
+    has saved a checkpoint, retries switch to cli.train replicating
+    Trainer.run_prune's preset (pruned cfg, 0.2x lr, no warmup, eval
+    every epoch — trainer.py run_prune) and resume from the newest one."""
+    total = 0.0
+    stale = 0
+    prev_ckpt = None
+    for attempt in range(RETRIES + 1):
+        wait_backend()
+        ck = None
+        if attempt > 0:  # first attempt ALWAYS prunes fresh (a stale
+            try:         # ckpt dir from an earlier run must not skip it)
+                ck = newest_ckpt(exp)
+            except FileNotFoundError:
+                pass
+        if ck is None:
+            attempt_cmd = list(cmd)
+        else:
+            lr = float(_eff(cmd, 'train.learning_rate_init', '2e-4'))
+            attempt_cmd = [sys.executable, '-m', 'pqdet_tpu.cli.train',
+                           '--yaml', YAML,
+                           'experiment_name', exp,
+                           'model.cfg_path', _eff(cmd, 'prune.new_cfg'),
+                           'train.max_epochs',
+                           _eff(cmd, 'prune.finetune_epochs', '20'),
+                           'train.learning_rate_init', repr(lr * 0.2),
+                           'train.warmup_epochs', '0.0',
+                           'sparse.switch', 'off', 'eval.after', '0',
+                           ] + EXTRA + ['weight.resume', ck,
+                                        'weight.clear_history', 'off']
+            print(f'[ladder] resuming {exp} fine-tune from {ck}', flush=True)
+        t0 = time.time()
+        try:
+            return total + run(attempt_cmd, log)
+        except RuntimeError:
+            total += time.time() - t0
+            try:
+                cur = newest_ckpt(exp)
+            except FileNotFoundError:
+                cur = None
+            if cur == prev_ckpt and _backend_ok():
+                stale += 1
+            elif cur != prev_ckpt:
+                stale = 0
+            prev_ckpt = cur
+            if stale >= 4:
+                raise RuntimeError(
+                    f'{exp}: 4 consecutive failures with no checkpoint '
+                    f'progress (last: {cur}) — aborting, see {log}')
+            if attempt == RETRIES:
+                raise
+            time.sleep(30)
 
 
 def last_split(log):
@@ -216,7 +303,7 @@ def main():
 
     if 'prune' in stages:
         sp_ckpt = json.load(open(REPORT))['sparse']['ckpt']
-        dt = run_retry([py, '-m', 'pqdet_tpu.cli.prune', '--yaml', YAML,
+        dt = run_prune_stage([py, '-m', 'pqdet_tpu.cli.prune', '--yaml', YAML,
                   'experiment_name', 'clutter_pruneft',
                   'prune.weight', sp_ckpt,
                   'prune.new_cfg', os.path.join(W, 'clutter_pruned.cfg'),
