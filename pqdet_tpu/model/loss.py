@@ -111,9 +111,13 @@ def loss_per_scale(pred: jnp.ndarray, label: jnp.ndarray, gt_boxes: jnp.ndarray,
     bbox_loss = bbox_loss * bbox_loss_gain
 
     # background mask: anchors whose best IoU against any raw GT box is below
-    # ignore_thresh (reference model/loss.py:85-90)
-    pair_iou = box_ops.iou(pred_coor[:, :, :, :, None, :],
-                           gt_boxes[:, None, None, None, :, :])
+    # ignore_thresh (reference model/loss.py:85-90). stop_gradient: the
+    # (B, H, W, A, N) matrix only feeds a comparison (zero gradient in the
+    # reference too — torch comparisons don't backprop), so guarantee XLA
+    # never materialises its adjoint instead of relying on DCE.
+    pair_iou = box_ops.iou(
+        jax.lax.stop_gradient(pred_coor)[:, :, :, :, None, :],
+        gt_boxes[:, None, None, None, :, :])
     max_iou = jnp.max(pair_iou, axis=-1)[..., None]
     respond_bgd = (1.0 - respond_bbox) * (max_iou < ignore_thresh).astype(jnp.float32)
 
