@@ -118,7 +118,36 @@ def bench_quant(model: str = 'mobilenetv2-fpn', mode: str = 'pallas',
     return float(np.median(times)) / CHAIN
 
 
+def wait_backend(max_s: float = 2700, probe_every: float = 180):
+    """Bounded wait for the axon tunnel: the TPU drops for minutes-to-hours
+    at a time, and a bench invoked during a drop would otherwise fail
+    instantly. Probes in a subprocess (an in-process failed backend init is
+    cached by JAX for the life of the process); gives up after max_s and
+    lets the real run raise. All chatter on stderr — stdout is reserved
+    for the single JSON result line."""
+    import subprocess
+    deadline = time.time() + max_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, '-c', 'import jax; jax.devices()'],
+                timeout=240, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print('bench: backend still unavailable, proceeding anyway',
+                  file=sys.stderr, flush=True)
+            return
+        print(f'bench: backend unavailable, retrying ({time.ctime()})',
+              file=sys.stderr, flush=True)
+        time.sleep(probe_every)
+
+
 def main():
+    wait_backend()
     model = sys.argv[1] if len(sys.argv) > 1 else 'mobilenetv2-fpn'
     variant = sys.argv[2] if len(sys.argv) > 2 else 'fp'
     bs = int(sys.argv[3]) if len(sys.argv) > 3 else 1
