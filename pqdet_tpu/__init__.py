@@ -9,3 +9,18 @@ drivers — all designed for TPU hardware (NHWC layouts, static shapes,
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# PQDET_PLATFORM=cpu|tpu forces the JAX platform for every CLI in this
+# package. The env var JAX_PLATFORMS alone does NOT work in this image
+# (a site hook overrides it after interpreter start); only a
+# jax.config.update before first backend use does. Used by CPU rehearsals
+# of multi-hour TPU drivers (tools/run_ladder.py) and mirrors what
+# tests/conftest.py does for the test suite.
+_platform = _os.environ.get('PQDET_PLATFORM')
+if _platform:
+    import jax as _jax
+
+    _jax.config.update('jax_platforms', _platform)
+del _os, _platform
