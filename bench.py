@@ -9,6 +9,19 @@ fence device execution, so N forwards are CHAINED inside one jit with a
 true value dependency (each iteration's input depends on the previous
 output's sum) and the scalar result is fetched — wall time per iteration
 is then honest device time.
+
+CHAIN amortises the tunnel's fixed ~25 ms dispatch+fetch roundtrip (an
+artifact of this remote-chip harness; a locally-attached TPU host pays
+~0.1 ms). Rounds 1-2 used CHAIN=8 as an unrolled Python loop, so every
+reported forward carried ~2-3 ms of pure tunnel roundtrip on top of the
+~0.8 ms of true device time a jax.profiler trace shows; CHAIN=32 shrinks
+that artifact to <1 ms/forward while still reporting a conservative upper
+bound (the published number remains wall-clock with 1/CHAIN of the
+roundtrip in it, never a trace-derived device-only time). The chain is a
+lax.scan so the model body is compiled ONCE whatever CHAIN is (an
+unrolled 32x loop would 4x the HLO and the compile time); the carry
+dependency (x depends on the previous iteration's output sum) still
+serialises iterations on device exactly like the unrolled form.
 """
 
 import json
@@ -25,7 +38,7 @@ BASELINES_MS = {
     'regnety-400m-fpn': 22.9,
 }
 BASELINE_MS = BASELINES_MS['mobilenetv2-fpn']
-CHAIN = 8           # forwards chained per measured call
+CHAIN = 32          # forwards chained per measured call (see note above)
 
 
 def bench_forward(model: str = 'mobilenetv2-fpn', batch_size: int = 1,
@@ -43,12 +56,14 @@ def bench_forward(model: str = 'mobilenetv2-fpn', batch_size: int = 1,
 
     @jax.jit
     def chain(p, x):
-        acc = jnp.float32(0)
-        for _ in range(CHAIN):
+        def step(carry, _):
+            x, acc = carry
             y = net.apply(p, {}, x, compute_dtype=jnp.bfloat16)[0]
             s = y.astype(jnp.float32).sum() * 1e-20
-            acc = acc + s
-            x = x + s.astype(x.dtype)  # true dependency between iterations
+            # true dependency between iterations: next x needs this y
+            return (x + s.astype(x.dtype), acc + s), None
+        (_, acc), _ = jax.lax.scan(step, (x, jnp.float32(0)), None,
+                                   length=CHAIN)
         return acc
 
     x = jnp.asarray(np.random.RandomState(0).rand(batch_size, 512, 512, 3),
@@ -100,12 +115,13 @@ def bench_quant(model: str = 'mobilenetv2-fpn', mode: str = 'pallas',
 
     @jax.jit
     def chain(p, x):
-        acc = jnp.float32(0)
-        for _ in range(CHAIN):
+        def step(carry, _):
+            x, acc = carry
             y = int8.apply(p, x)
             s = y.astype(jnp.float32).sum() * 1e-20
-            acc = acc + s
-            x = x + s.astype(x.dtype)
+            return (x + s.astype(x.dtype), acc + s), None
+        (_, acc), _ = jax.lax.scan(step, (x, jnp.float32(0)), None,
+                                   length=CHAIN)
         return acc
 
     x = jnp.asarray(rng.rand(batch_size, 512, 512, 3), jnp.float32)
