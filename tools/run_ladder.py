@@ -133,10 +133,14 @@ def run_train(cmd, log, exp):
     total = 0.0
     stale = 0
     prev_ckpt = None
+    # LADDER_RESUME=1: a NEW driver run picks a killed train stage back up
+    # from the experiment's own newest checkpoint instead of restarting it
+    # (the in-run retry loop below already does this for attempt > 0)
+    resume0 = os.environ.get('LADDER_RESUME') == '1'
     for attempt in range(RETRIES + 1):
         wait_backend()
         attempt_cmd = list(cmd)
-        if attempt > 0:
+        if attempt > 0 or resume0:
             try:
                 ck = newest_ckpt(exp)
                 attempt_cmd += ['weight.resume', ck,
