@@ -71,9 +71,18 @@ def test_diffeval_small(tmp_path):
         'eval.input_size', '224',
         'eval.batch_size', '4',
         'eval.score_threshold', '0.3',
-        'eval.max_detections', '256',
-        'eval.pool_factor', '16',
-        'system.num_workers', '2',
+        # the 16-step-trained weights vary run to run (host augmentations
+        # draw from the GLOBAL np.random, so worker-thread interleaving
+        # changes the training stream) — parity must hold for ANY weights.
+        # max_detections must cover every candidate (28^2*3 + 14^2*3 =
+        # 2940 boxes x 3 classes <= pool) or a weak model's over-threshold
+        # flood truncates our fixed-shape NMS output while the reference's
+        # is unbounded, and match_rate collapses on count alone.
+        'eval.max_detections', '3072',
+        'eval.pool_factor', '4',
+        # single worker: the per-worker np.random.seed makes the augment
+        # stream (and so the trained weights) deterministic across runs
+        'system.num_workers', '1',
         'system.compute_dtype', 'float32',
         'weight.dir', str(tmp_path / 'w'),
     ])
