@@ -337,9 +337,14 @@ def main():
                   'train.learning_rate_init', '5e-5',
                   'train.input_sizes', '[512]',
                   'augment.mosaic_p', '0.0', 'augment.mixup_p', '0.0',
-                  'eval.after', '99'] + EXTRA,
+                  # eval every epoch: the QAT stage's own AP localises a
+                  # downstream int8 regression (round-3 lesson: the first
+                  # clutter ladder ran QAT blind and int8 landed at 0.0
+                  # with nothing to bisect against)
+                  'eval.after', '0'] + EXTRA,
                  os.path.join(LOGDIR, 'ladder_qat.log'), 'clutter_qat')
-        record('qat', minutes=round(dt / 60, 1),
+        ap50, ap = last_ap(os.path.join(LOGDIR, 'ladder_qat.log'))
+        record('qat', ap50=ap50, ap=ap, minutes=round(dt / 60, 1),
                ckpt=newest_ckpt('clutter_qat'))
 
     if 'int8' in stages:
@@ -354,6 +359,18 @@ def main():
         ap50, ap = last_ap(os.path.join(LOGDIR, 'ladder_int8eval.log'))
         record('int8', ap50=ap50, ap=ap, minutes=round(dt / 60, 1),
                ckpt=int8_path)
+        if not ap50:
+            # bisect a dead int8 eval on the spot: the exact-int XLA
+            # executor shares the conversion but none of the Pallas
+            # kernels, so pallas=0/exact>0 indicts the kernels and
+            # both=0 indicts conversion or the QAT weights
+            dt = run_retry([py, '-m', 'pqdet_tpu.cli.bench', 'eval',
+                            '--yaml', YAML, '--weight', int8_path,
+                            '--int8-exact', 'eval.batch_size', '16'] + EXTRA,
+                           os.path.join(LOGDIR, 'ladder_int8exact.log'))
+            ap50, ap = last_ap(os.path.join(LOGDIR, 'ladder_int8exact.log'))
+            record('int8_exact', ap50=ap50, ap=ap,
+                   minutes=round(dt / 60, 1), ckpt=int8_path)
 
     if os.path.exists(REPORT):
         print(json.dumps(json.load(open(REPORT)), indent=1))
