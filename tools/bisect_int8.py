@@ -13,7 +13,6 @@ executor implementation on hardware.
 import argparse
 import json
 import os
-import re
 import subprocess
 import sys
 import time
@@ -50,13 +49,17 @@ def last_ap(log):
 
 
 def all_aps(log):
-    """Every AP the log printed (the trainer prints 'mAP: X' per epoch)."""
+    """Every AP the log printed: per-epoch evals emit format_ap_table,
+    whose 'mAPs' row is per-IoU APs x100 then the mean AP."""
     out = []
     with open(log) as f:
         for line in f:
-            m = re.search(r'\bmAP: ([0-9.]+)', line)
-            if m:
-                out.append(float(m.group(1)))
+            if line.startswith('mAPs'):
+                try:
+                    vals = [float(t) for t in line.split()[1:]]
+                    out.append((vals[0] / 100, vals[-1] / 100))
+                except ValueError:
+                    pass
     return out
 
 
