@@ -250,9 +250,32 @@ class Trainer:
     def make_predict_fn(self):
         """(batch dict) -> list of per-image (M, 6) numpy detections. The
         jitted pipeline is built once and reused by every per-epoch
-        evaluation (rebuilding it would re-jit per epoch)."""
+        evaluation (rebuilding it would re-jit per epoch).
+
+        QAT runs evaluate the CONVERTED int8 model through the int8
+        executor — the number that actually matters after conversion —
+        mirroring the reference, which evals tools.quantized_model during
+        QAT (reference trainer.py:313, tools.py:291-304). The first blind
+        clutter ladder measured fake-quant-free fp AP per epoch and the
+        converted model's collapse to 0.0 was invisible until the final
+        convert step."""
         from pqdet_tpu.evaluation.predict import (build_predict_pipeline,
                                                   make_batch_predict)
+        if self._quant:
+            from pqdet_tpu.compress.quantized import (Int8Inference,
+                                                      convert_to_int8)
+            params, state = jax.device_get((self.params, self.state))
+            qparams = convert_to_int8(self.network, params, state)
+            int8 = Int8Inference(self.network, mode='pallas',
+                                 act=qparams['act'])
+            # act scales are baked into the jit as constants and change
+            # between epochs while observers run, so the pipeline cannot
+            # be cached across evals like the fp one below
+            run = build_predict_pipeline(
+                self.network, self.config,
+                apply_fn=lambda p, x: int8.apply(p, x))
+            return make_batch_predict(run, Int8Inference.prepare(
+                qparams, mode='pallas', network=self.network))
         if self._eval_run is None:
             self._eval_run = build_predict_pipeline(
                 self.network, self.config, compute_dtype=self._compute_dtype)

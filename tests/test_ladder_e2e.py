@@ -101,14 +101,20 @@ def test_cli_compression_ladder(tmp_path, monkeypatch, capsys):
     assert os.path.basename(pf_ckpt).startswith('pruned-30-model-0')
 
     # --- qat: resume the PRUNED fine-tuned ckpt with fake-quant; the
-    # pruned cfg must win over the checkpoint-embedded text ---
+    # pruned cfg must win over the checkpoint-embedded text. eval.after 0
+    # (trailing override wins): per-epoch QAT eval runs the CONVERTED
+    # int8 executor (trainer.make_predict_fn quant branch, mirroring
+    # reference trainer.py:313) ---
     run_cli(cli_train, base + [
         'experiment_name', 'qat',
         'weight.resume', pf_ckpt, 'weight.clear_history', 'on',
         'model.cfg_path', new_cfg,
         'quant.switch', 'on',
         'quant.disable_observer_after', '0',
-        'quant.freeze_bn_after', '1'])
+        'quant.freeze_bn_after', '1',
+        'eval.after', '0'])
+    out = capsys.readouterr().out
+    assert 'mAPs' in out  # the in-QAT int8 eval printed an AP table
     qat_ckpt = ladder.newest_ckpt('qat')
     blob = load_checkpoint(qat_ckpt)
     assert blob.get('type') == 'qat'
