@@ -227,3 +227,35 @@ def test_train_time_dense_groups_function_and_grad_parity():
     yd1 = conv2d(x, wd, stride=1, padding=1, groups=cin, dense_groups=True)
     np.testing.assert_allclose(np.asarray(yd1), np.asarray(yd0),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_classifier_network_forward():
+    """ClassifierNetwork (reference interpreter.py:87 ClassifierModel):
+    a yolo-less graph returns the LAST layer's output — here a softmax-able
+    (B, classes) fc head over conv+avgpool features."""
+    from pqdet_tpu.model.network import ClassifierNetwork
+    cfg = """
+[net]
+channels=3
+
+[convolutional]
+filters=8
+size=3
+stride=2
+pad=1
+batch_normalize=1
+activation=relu
+
+[avgpool]
+
+[fc]
+input=8
+output=5
+activation=linear
+"""
+    net = ClassifierNetwork.from_cfg(cfg)
+    params, state = net.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+    logits, _ = jax.jit(net.apply)(params, state, x)
+    assert logits.shape == (2, 5)
+    assert bool(jnp.isfinite(logits).all())
