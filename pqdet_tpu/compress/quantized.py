@@ -533,11 +533,17 @@ class Int8Inference:
                 p['wnat_colsum'] = p['wnat_colsum'].astype(jnp.float32)
         return {'layers': staged, 'act': qparams['act']}
 
-    def apply(self, qparams: Dict, x: jnp.ndarray):
+    def apply(self, qparams: Dict, x: jnp.ndarray,
+              intermediates: bool = False):
+        """Run the quantized graph. With ``intermediates`` the return value
+        is ``(preds, {node_key: fp32 node output})`` — the per-layer debug
+        view used to bisect executor-mode divergence on hardware
+        (tools/bisect_int8_layers.py)."""
         act = self.act if self.act is not None else qparams['act']
         layers = qparams['layers']
         last_use = self.graph.last_use
         cache: Dict[int, jnp.ndarray] = {}
+        inter: Dict[str, jnp.ndarray] = {}
         outputs = []
         pallas = self.mode == 'pallas'
         # CPU tests run the kernel in interpreter mode
@@ -559,6 +565,10 @@ class Int8Inference:
             if self.mode == 'dequant':
                 return _fake_quant_edge(y, sz), None
             return (_quant_s8(y, sz), sz) if pallas else (_quant(y, sz), sz)
+
+        def record(key, val, sz):
+            if intermediates:
+                inter[key] = as_fp(val, sz)
 
         for node in self.graph.nodes:
             i, kind = node.index, node.kind
@@ -630,6 +640,7 @@ class Int8Inference:
                                a['stride'], cur_sz, out_edge,
                                a['activation'], pv)
                         xq, cur_sz = y, out_edge
+                        record(key, xq, cur_sz)
                         if i in last_use:
                             cache[i] = (xq, cur_sz)
                         continue
@@ -661,6 +672,7 @@ class Int8Inference:
                                 p['wnat_colsum'], a['stride'], cur_sz,
                                 out_edge, a['activation'], pv)
                     xq, cur_sz = y, out_edge
+                    record(key, xq, cur_sz)
                     if i in last_use:
                         cache[i] = (xq, cur_sz)
                     continue
@@ -700,6 +712,7 @@ class Int8Inference:
                 if i in last_use:
                     cache[i] = cache_entry
                 xq, cur_sz = y, cur_sz
+                record(key, xq, cur_sz)
                 continue
             elif kind == 'fc':
                 p = layers[key]
@@ -711,6 +724,7 @@ class Int8Inference:
                 if i in last_use:
                     cache[i] = (pred, None)
                 xq, cur_sz = pred, None
+                record(key, xq, cur_sz)
                 continue
             elif kind == 'dropout':
                 xq, cur_sz = xq, cur_sz
@@ -722,8 +736,12 @@ class Int8Inference:
                 xq, cur_sz = requant(y, act[key])
             else:           # fp32 edge (feeds a yolo head)
                 xq, cur_sz = y, None
+            record(key, xq, cur_sz)
             if i in last_use:
                 cache[i] = (xq, cur_sz)
 
         flat = [o.reshape(o.shape[0], -1, o.shape[-1]) for o in outputs]
-        return jnp.concatenate(flat, axis=1)
+        preds = jnp.concatenate(flat, axis=1)
+        if intermediates:
+            return preds, inter
+        return preds

@@ -1,5 +1,7 @@
 """QAT fake-quant + int8 conversion tests."""
 
+import functools
+
 import numpy as np
 import pytest
 
@@ -245,3 +247,41 @@ def test_int8_xla_family_matches_pallas_family(monkeypatch):
                                np.asarray(out_pal[..., 4:]), atol=2e-2)
     np.testing.assert_allclose(np.asarray(out_xla[..., :4]),
                                np.asarray(out_pal[..., :4]), atol=0.5)
+
+
+def test_int8_intermediates_debug_view():
+    """apply(..., intermediates=True) returns identical preds plus a
+    per-node fp32 view for every conv/shortcut edge; pallas-vs-int views
+    agree to a few quant levels (the bisect tool's contract,
+    tools/bisect_int8_layers.py)."""
+    net = DetectionNetwork.from_cfg(_mobile_style_cfg(), quant=True)
+    params, state = net.init(jax.random.PRNGKey(3))
+    params, state = prepare_qat_state(net, params, state)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1)
+    for _ in range(2):
+        ctx = QuantCtx(state['quant'], observing=True)
+        net.apply(params, state, x, quant_ctx=ctx)
+        state = {**state, 'quant': ctx.new_obs}
+    qparams = convert_to_int8(net, params, state)
+
+    views = {}
+    for mode in ('pallas', 'int'):
+        inf = Int8Inference(net, mode=mode)
+        qp = Int8Inference.prepare(qparams, mode=mode, network=net)
+        plain = jax.jit(inf.apply)(qp, x)
+        preds, inter = jax.jit(
+            functools.partial(inf.apply, intermediates=True))(qp, x)
+        np.testing.assert_array_equal(np.asarray(preds), np.asarray(plain))
+        views[mode] = inter
+
+    conv_keys = {str(n.index) for n in net.graph.nodes
+                 if n.kind == 'convolutional'}
+    assert conv_keys <= set(views['pallas'])
+    assert set(views['pallas']) == set(views['int'])
+    for key in views['pallas']:
+        a = np.asarray(views['pallas'][key], np.float64)
+        b = np.asarray(views['int'][key], np.float64)
+        assert a.shape == b.shape
+        scale = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < 0.35, key
