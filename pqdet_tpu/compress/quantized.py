@@ -278,6 +278,34 @@ def _native_dw3x3(xq, wdw, w_scale, b, stride, x_sz, out_edge, act_name,
     return _quant_s8(y, out_edge)
 
 
+def _s8_dw3x3(xq, wdw, w_scale, b, stride, x_sz, out_edge, act_name,
+              pad_val):
+    """Depthwise 3x3 via XLA's NATIVE s8 x s8 -> s32 conv — exact integer
+    semantics with no bf16 anywhere (s32 accumulation has no magnitude
+    bound concern; cf. _native_dw3x3's exact-int bf16 route). Built as the
+    hardware fallback for the _native_dw3x3 TPU lowering fault localised
+    by tools/bisect_int8_layers.py on the pruned clutter graph (round 3):
+    every element off by exactly 128 quant levels (u8-wrap signature),
+    while CPU is exact. Selectable via PQDET_DW_POLICY=s8."""
+    c = xq.shape[-1]
+    x_scale, x_zp = x_sz
+    xs = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                 constant_values=pad_val)
+    acc = jax.lax.conv_general_dilated(
+        xs, wdw.reshape(3, 3, 1, c), window_strides=(stride, stride),
+        padding=((0, 0), (0, 0)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'), feature_group_count=c,
+        preferred_element_type=jnp.int32)
+    colsum = jnp.sum(wdw.astype(jnp.int32), axis=(0, 1))
+    alpha = jnp.float32(x_scale) * w_scale
+    beta = alpha * ((128.0 - jnp.float32(x_zp))
+                    * colsum.astype(jnp.float32)) + b
+    y = L.apply_activation(act_name, acc.astype(jnp.float32) * alpha + beta)
+    if out_edge is None:
+        return y
+    return _quant_s8(y, out_edge)
+
+
 def _native_conv3x3(xq, w_bf16, w_scale, b, colsum, stride, x_sz, out_edge,
                     act_name, pad_val, groups: int = 1):
     """Dense 3x3 conv through XLA's native conv on RECENTRED-INTEGER-valued
@@ -421,6 +449,8 @@ class Int8Inference:
             return 'xla'
         if policy == 'native':
             return 'native'
+        if policy == 's8':
+            return 's8'
         if batch < 8:
             # bs=1 table (us, tools/microbench_dw.py): the XLA unrolled
             # fusion wins every h>=128 shape incl. stride 2 (dw1: 29 vs
@@ -628,14 +658,14 @@ class Int8Inference:
                         y = qconv1x1_s8(xq, p['w2d'], p['w_scale'], p['b'],
                                         p['colsum'], **common)
                     elif dw_ok and self._dw_impl(xq.shape, a['stride']) \
-                            in ('xla', 'native'):
+                            in ('xla', 'native', 's8'):
                         if _static_scalar(cur_sz[1]):
                             pv = np.int8(round(cur_sz[1]) - 128)
                         else:
                             pv = (jnp.round(cur_sz[1]) - 128).astype(jnp.int8)
-                        fn = _xla_dw3x3 \
-                            if self._dw_impl(xq.shape, a['stride']) == 'xla' \
-                            else _native_dw3x3
+                        fn = {'xla': _xla_dw3x3, 'native': _native_dw3x3,
+                              's8': _s8_dw3x3}[
+                            self._dw_impl(xq.shape, a['stride'])]
                         y = fn(xq, p['wdw'], p['w_scale'], p['b'],
                                a['stride'], cur_sz, out_edge,
                                a['activation'], pv)

@@ -204,3 +204,40 @@ def test_native_dw3x3_vs_int8_conv_oracle():
                           (xs, xzp), out_edge, 'leaky', pad_val)
         q_ref = np.asarray(_quant_s8(jnp.asarray(y_ref), out_edge))
         np.testing.assert_array_equal(np.asarray(q), q_ref)
+
+
+def test_s8_dw3x3_vs_int8_conv_oracle():
+    """The dw_impl='s8' path (native s8 x s8 -> s32 depthwise conv, no
+    bf16 anywhere) must match the int8_conv oracle exactly for both
+    strides, with and without the requant edge. This is the hardware
+    fallback for the _native_dw3x3 TPU lowering fault (bisected on the
+    pruned clutter graph, round 3)."""
+    from pqdet_tpu.compress.quantized import _quant_s8, _s8_dw3x3, int8_conv
+
+    rng = np.random.RandomState(17)
+    c = 80  # the first divergent hardware layer's channel count
+    xq = rng.randint(0, 256, (2, 18, 22, c)).astype(np.uint8)
+    w = rng.randint(-127, 128, (3, 3, 1, c)).astype(np.int8)
+    w_scale = (rng.rand(c) * 0.01 + 0.001).astype(np.float32)
+    b = (rng.randn(c) * 0.1).astype(np.float32)
+    xs, xzp = 0.02, 117.0
+    out_edge = (0.04, 7.0)
+    x_s8 = jnp.asarray((xq.astype(np.int16) - 128).astype(np.int8))
+    pad_val = np.int8(round(xzp) - 128)
+
+    for stride in (1, 2):
+        y_ref = int8_conv(jnp.asarray(xq), (xs, xzp), jnp.asarray(w),
+                          jnp.asarray(w_scale), jnp.asarray(b), stride, 1, c)
+        y_ref = np.asarray(jnp.where(y_ref > 0, y_ref, 0.1 * y_ref))
+        y = _s8_dw3x3(x_s8, jnp.asarray(w.reshape(3, 3, c)),
+                      jnp.asarray(w_scale), jnp.asarray(b), stride,
+                      (xs, xzp), None, 'leaky', pad_val)
+        assert y.shape == y_ref.shape
+        np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-4,
+                                   rtol=1e-5)
+
+        q = _s8_dw3x3(x_s8, jnp.asarray(w.reshape(3, 3, c)),
+                      jnp.asarray(w_scale), jnp.asarray(b), stride,
+                      (xs, xzp), out_edge, 'leaky', pad_val)
+        q_ref = np.asarray(_quant_s8(jnp.asarray(y_ref), out_edge))
+        np.testing.assert_array_equal(np.asarray(q), q_ref)

@@ -285,3 +285,29 @@ def test_int8_intermediates_debug_view():
         assert a.shape == b.shape
         scale = max(np.abs(b).max(), 1e-6)
         assert np.abs(a - b).max() / scale < 0.35, key
+
+
+def test_int8_dw_policy_s8_matches_int_executor(monkeypatch):
+    """PQDET_DW_POLICY=s8 routes every depthwise layer through the native
+    s8 conv impl (_s8_dw3x3); the full executor must stay at exact-integer
+    parity with the 'int' reference executor (dw layers are bit-exact —
+    both accumulate in s32)."""
+    net = DetectionNetwork.from_cfg(_mobile_style_cfg(), quant=True)
+    params, state = net.init(jax.random.PRNGKey(4))
+    params, state = prepare_qat_state(net, params, state)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1)
+    for _ in range(2):
+        ctx = QuantCtx(state['quant'], observing=True)
+        net.apply(params, state, x, quant_ctx=ctx)
+        state = {**state, 'quant': ctx.new_obs}
+    qparams = convert_to_int8(net, params, state)
+
+    monkeypatch.setenv('PQDET_DW_POLICY', 's8')
+    qp = Int8Inference.prepare(qparams, network=net)
+    out = jax.jit(Int8Inference(net, act=qp['act']).apply)(qp, x)
+    ref = jax.jit(Int8Inference(net, mode='int').apply)(qparams, x)
+    np.testing.assert_allclose(np.asarray(out[..., 4:]),
+                               np.asarray(ref[..., 4:]), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out[..., :4]),
+                               np.asarray(ref[..., :4]), atol=0.5)

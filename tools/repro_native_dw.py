@@ -36,8 +36,8 @@ def main():
     import jax.numpy as jnp
 
     from pqdet_tpu.compress.quantized import (
-        Int8Inference, _native_dw3x3, _quant_s8, _xla_dw3x3, int8_conv,
-        load_quantized)
+        Int8Inference, _native_dw3x3, _quant_s8, _s8_dw3x3, _xla_dw3x3,
+        int8_conv, load_quantized)
     from pqdet_tpu.ops.pallas_qconv import qdwconv3x3_s8
 
     print(f'backend={jax.default_backend()}', flush=True)
@@ -90,6 +90,8 @@ def main():
                                         pad_val),
         'xla': lambda: _xla_dw3x3(x_s8, wdw, w_scale, b, stride,
                                   x_sz, out_edge, a['activation'], pad_val),
+        's8': lambda: _s8_dw3x3(x_s8, wdw, w_scale, b, stride,
+                                x_sz, out_edge, a['activation'], pad_val),
         'pallas': lambda: qdwconv3x3_s8(
             x_s8, wdw, w_scale, b, stride=stride, act=a['activation'],
             x_scale=x_sz[0], x_zp=x_sz[1],
