@@ -79,6 +79,18 @@ def main():
     from pqdet_tpu.ops.pallas_qconv import qdwconv3x3_s8
 
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    shapes = SHAPES
+    if len(sys.argv) > 2:  # derive dw shapes from a cfg (e.g. pruned graph)
+        from pqdet_tpu.model.graph import Graph
+        size = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+        g = Graph.from_cfg(sys.argv[2])
+        shapes = sorted({(size // (n.stride // n.attrs['stride']),
+                          n.attrs['filters'], n.attrs['stride'])
+                         for n in g.nodes if n.kind == 'convolutional'
+                         and n.attrs['size'] == 3
+                         and n.attrs['groups'] == n.attrs['filters']},
+                        reverse=True)
+        print(f'dw shapes from {sys.argv[2]} @ {size}: {shapes}')
     rng = np.random.RandomState(0)
     x_zp, out_sz = 117.0, (0.05, 9.0)
     print(f'bs={bs} (us per layer call, chained-jit, includes ~1/{CHAIN} '
