@@ -435,16 +435,25 @@ class Int8Inference:
         loses badly at batch — misaligned sublane tap slices force full
         relayout copies (256^2 c32: 2.8 ms vs 445 us for the unrolled-XLA
         fusion). 'xla' (9 unrolled tap FMAs) wins high-res stride-1
-        layers; 'native' (exact-int bf16 lax.conv, MXU) wins every
-        stride-2 shape and everything at h < 128. At bs < 8 the Pallas
-        kernel's one-op-per-layer form wins overall (round-2 bs=1: 4.63
-        pallas vs 5.01 xla full-model) — re-measure if kernels change."""
+        layers; the native lax.conv wins every stride-2 shape and
+        everything at h < 128. At bs < 8 the Pallas kernel's
+        one-op-per-layer form wins overall (round-2 bs=1: 4.63 pallas vs
+        5.01 xla full-model) — re-measure if kernels change.
+
+        The native-conv slot runs 's8' (s8 x s8 -> s32), NOT 'native'
+        (exact-int bf16): XLA:TPU MISCOMPILES the bf16 depthwise conv on
+        pruned channel counts — measured c=80 s2 @256^2: every output
+        element +128 quant levels (s8-saturated), 99.95% of 21M elements
+        wrong (tools/repro_native_dw.py, 2026-08-19), while the same HLO
+        is exact on CPU and the unpruned graph (c=96/144/192/...) served
+        AP-clean on hardware. The s8 conv takes the conv emitter with
+        integer types instead and probes exact at the failing shape."""
         if self.dw_impl != 'auto':
             return self.dw_impl
         policy = os.environ.get('PQDET_DW_POLICY', '')  # A/B experiments
         batch, h = x_shape[0], x_shape[1]
         if policy == 'xla_s1':
-            return 'xla' if stride == 1 else 'native'
+            return 'xla' if stride == 1 else 's8'
         if policy == 'xla_all':
             return 'xla'
         if policy == 'native':
@@ -454,17 +463,16 @@ class Int8Inference:
         if batch < 8:
             # bs=1 table (us, tools/microbench_dw.py): the XLA unrolled
             # fusion wins every h>=128 shape incl. stride 2 (dw1: 29 vs
-            # pallas 208); 'native' wins the small-h tail. The Pallas dw
-            # kernel never wins a shape on v5e — kept only as an explicit
-            # dw_impl choice.
-            return 'xla' if h >= 128 else 'native'
+            # pallas 208); the native conv wins the small-h tail. The
+            # Pallas dw kernel never wins a shape on v5e — kept only as
+            # an explicit dw_impl choice.
+            return 'xla' if h >= 128 else 's8'
         # bs>=8: in-model the fused XLA tap path is near-roofline for
-        # stride-1 h>=128; everything else does better as an exact-int
-        # bf16 native conv (xla_s1 A/B measured WORSE overall: 10.75 vs
-        # 10.39 ms device)
+        # stride-1 h>=128; everything else does better as a native conv
+        # (xla_s1 A/B measured WORSE overall: 10.75 vs 10.39 ms device)
         if stride == 1 and h >= 128:
             return 'xla'
-        return 'native'
+        return 's8'
 
     def _pw_impl(self, x_shape) -> str:
         """1x1 family: 'pallas' (fused MXU kernel, requant in the
