@@ -460,16 +460,22 @@ class Int8Inference:
             return 'native'
         if policy == 's8':
             return 's8'
+        if policy == 'xla128':      # A/B: the round-3 pre-s8 bs>=8 split
+            return 'xla' if stride == 1 and h >= 128 else 's8'
         if batch < 8:
-            # bs=1 table (us, tools/microbench_dw.py): the XLA unrolled
-            # fusion wins every h>=128 shape incl. stride 2 (dw1: 29 vs
-            # pallas 208); the native conv wins the small-h tail. The
-            # Pallas dw kernel never wins a shape on v5e — kept only as
-            # an explicit dw_impl choice.
+            # bs=1: xla taps for the big maps + s8 conv for the small-h
+            # tail measures 2.63 ms full-model (vs 4.50 with the bf16
+            # native conv in the s8 slot, and 3.94 with s8 everywhere —
+            # 2026-08-19 A/B). The Pallas dw kernel never wins a shape on
+            # v5e — kept only as an explicit dw_impl choice.
             return 'xla' if h >= 128 else 's8'
-        # bs>=8: in-model the fused XLA tap path is near-roofline for
-        # stride-1 h>=128; everything else does better as a native conv
-        # (xla_s1 A/B measured WORSE overall: 10.75 vs 10.39 ms device)
+        # bs>=8: the fused XLA tap path wins the big stride-1 maps (256^2
+        # c32: 445 vs 2622 us) and, IN-MODEL, the h=128 ones too — the
+        # per-layer sweep has s8 tying there (c=144: 497 vs 486) but the
+        # full-model A/B is clear (13.76 ms with xla at h>=128 s1 vs
+        # 14.32 with xla only at h>=256; 2026-08-19): the s8 conv inserts
+        # layout transitions the homogeneous microbench chain never pays.
+        # Everything else does best as the s8 native conv.
         if stride == 1 and h >= 128:
             return 'xla'
         return 's8'

@@ -95,7 +95,7 @@ def main():
     x_zp, out_sz = 117.0, (0.05, 9.0)
     print(f'bs={bs} (us per layer call, chained-jit, includes ~1/{CHAIN} '
           f'dispatch)')
-    for h, c, stride in SHAPES:
+    for h, c, stride in shapes:
         x = jnp.asarray(rng.randint(-128, 128, (bs, h, h, c)), jnp.int8)
         w = rng.randint(-127, 128, (3, 3, c)).astype(np.int8)
         w_scale = jnp.asarray((rng.rand(c) * 0.01 + 0.001), jnp.float32)
