@@ -502,6 +502,26 @@ class Int8Inference:
             return env
         return 's8'
 
+    def _dens_im2col(self, x_shape, stride: int) -> bool:
+        """Small-batch dense/densified 3x3: route through the Pallas 1x1
+        MXU kernel via XLA-level im2col patch views?
+
+        Per-shape A/B at bs=1 on the regnety-400m-fpn densified stack
+        (tools/bench_densified.py, 2026-08-19, device us/layer): im2col
+        wins every stride-2 shape (256^2x48: 142 vs 184; 32^2x440: 13 vs
+        29) and the small maps (16^2x440: 13.3 vs 24; 32^2x176: 12.7 vs
+        16.9), s8 wins the mid-size stride-1 maps (64^2x104: 8.4 vs 37.6)
+        — and in-model s8 additionally pays a layout copy off every
+        Pallas-1x1 input that im2col's concatenate does not. The true
+        small-Cin stem always prefers im2col (round-2 measurement)."""
+        env = os.environ.get('PQDET_DENS_IMPL', '')
+        if env == 'im2col':
+            return True
+        if env == 's8':
+            return False
+        h, cin = x_shape[1], x_shape[3]
+        return cin <= 16 or stride == 2 or h <= 32
+
     @staticmethod
     def prepare(qparams: Dict, mode: str = 'pallas',
                 network: DetectionNetwork = None) -> Dict:
@@ -551,12 +571,18 @@ class Int8Inference:
                 # (all measured round 3).
                 p['wnat'] = wq  # int8 HWIO (s8 path raw; bf16 path casts)
                 p['wnat_colsum'] = wq.astype(np.int32).sum((0, 1, 2))
-                if wq.shape[2] <= 16:
-                    # true small-Cin stem: ALSO stage the im2col weight
-                    # views — the small-batch path (see
-                    # _stem_im2col_small_batch; the native conv costs
-                    # 431 us at bs=1 where the patch views cost ~100 us)
-                    cin, cout = wq.shape[2], wq.shape[3]
+                # ALSO stage the im2col weight views for the small-batch
+                # path (_stem_im2col_small_batch): the true small-Cin stem
+                # (native conv costs 431 us at bs=1 vs ~100 us of patch
+                # views) AND densified grouped convs (RegNet stacks) —
+                # at bs=1 XLA's dense s8 convs run slow AND pay a layout
+                # copy off every Pallas 1x1 output (48.2 us x8-understated
+                # per 256^2x48 layer, tools/profile_int8.py 2026-08-19),
+                # while the patch concatenate reads that layout directly
+                # (tools/bench_densified.py: 142 vs 184+copy us on the
+                # biggest layer, 13.3 vs 24+copy on the 16^2x440 stack).
+                cin, cout = wq.shape[2], wq.shape[3]
+                if cin <= 512:
                     wim = wq.reshape(9 * cin, cout)
                     p['wim'] = wim
                     p['wim_colsum'] = wim.astype(np.int32).sum(0)
@@ -700,7 +726,8 @@ class Int8Inference:
                             pv = (jnp.round(cur_sz[1]) - 128
                                   ).astype(jnp.int8)
                         if 'wim' in p and xq.shape[0] < 8 \
-                                and a['stride'] in (1, 2):
+                                and a['stride'] in (1, 2) \
+                                and self._dens_im2col(xq.shape, a['stride']):
                             y = _stem_im2col_small_batch(
                                 xq, p, common, a['stride'], pv, qconv1x1_s8)
                         elif self._nat_impl() == 's8':

@@ -131,8 +131,11 @@ def run_variant(tag, build, *args, top=30):
 
 def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    variants = sys.argv[2:] or ['bf16', 'pallas', 'xla']
+    rest = sys.argv[2:]
     model = 'mobilenetv2-fpn'
+    if rest and ('fpn' in rest[0] or 'pan' in rest[0]):  # zoo model name
+        model, rest = rest[0], rest[1:]
+    variants = rest or ['bf16', 'pallas', 'xla']
     for v in variants:
         if v == 'bf16':
             run_variant(f'bf16 bs={bs}', build_bf16, model, bs)
