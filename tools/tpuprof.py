@@ -60,6 +60,11 @@ def summarize_trace(log_dir: str, merge_fusion_ids: bool = True
         name = e.get('name', '?')
         if re.match(r'^jit_\w+\(', name):
             continue  # program envelope, not an op
+        if re.fullmatch(r'\d+', name) and 'long_name' not in args:
+            # newer profiler builds emit per-dispatch program envelopes as
+            # bare run-id names ('0','1','2',...) with device_duration_ps
+            # equal to the whole program — counting them doubles the total
+            continue
         dur = float(e.get('dur', 0.0))
         key = re.sub(r'\.\d+$', '', name) if merge_fusion_ids else name
         cat = args.get('hlo_category', '')
