@@ -6,13 +6,20 @@ keeps a single source of truth and lets NAS/pruning reuse the same builder.
 
 from pqdet_tpu.zoo.builder import CfgBuilder
 from pqdet_tpu.zoo.mobilenetv2 import mobilenetv2_fpn
-from pqdet_tpu.zoo.regnet import regnetx_600m_fpn, regnetx_600m_pan, regnety_400m_fpn
+from pqdet_tpu.zoo.regnet import (regnetx_600m_fpn, regnetx_600m_pan,
+                                  regnetx_600m_rpan, regnetx_600m_yolo,
+                                  regnety_400m_fpn)
 
 MODEL_ZOO = {
     'mobilenetv2-fpn': mobilenetv2_fpn,
     'regnetx-600m-fpn': regnetx_600m_fpn,
     'regnetx-600m-pan': regnetx_600m_pan,
     'regnety-400m-fpn': regnety_400m_fpn,
+    # experimental neck variants the reference ships as cfg files only
+    # (model/cfg/regnetx-600m-rpan.cfg, regnetx-600m-yolo.cfg; not in the
+    # README zoo table)
+    'regnetx-600m-rpan': regnetx_600m_rpan,
+    'regnetx-600m-yolo': regnetx_600m_yolo,
 }
 
 

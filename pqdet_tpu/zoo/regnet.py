@@ -144,6 +144,99 @@ def _regnet_pan(spec: dict, se_ratio: Optional[float], num_classes: int,
     return b.text()
 
 
+def _rpan_block(b: CfgBuilder, width: int, group_w: int) -> int:
+    """Residual PAN block (reference regnetx-600m-rpan.cfg neck blocks,
+    e.g. sections 74-79): always-project 1x1 linear + (1x1 relu /
+    grouped 3x3 relu / 1x1 linear) body, relu shortcut."""
+    proj = b.conv(width, size=1, activation='linear', comment='projection')
+    b.route(proj - 1)
+    b.conv(width, size=1, activation='relu')
+    b.conv(width, size=3, groups=width // group_w, activation='relu')
+    b.conv(width, size=1, activation='linear')
+    return b.shortcut(proj, activation='relu')
+
+
+def _regnet_rpan(spec: dict, se_ratio: Optional[float], num_classes: int,
+                 bbox_loss: str, l1_loss_gain: float,
+                 gt_per_grid: int = 3) -> str:
+    """PAN neck with residual blocks (reference model/cfg/
+    regnetx-600m-rpan.cfg): top-down and post-concat merge blocks are
+    residual (_rpan_block); the stride-2 bottom-up blocks stay plain."""
+    b = CfgBuilder()
+    pred_ch = gt_per_grid * (5 + num_classes)
+    taps, _ = _backbone(b, spec, se_ratio)
+    gw = 16
+
+    def pred_yolo():
+        b.conv(pred_ch, size=1, bn=False, activation='linear')
+        b.yolo(num_classes, bbox_loss=bbox_loss, l1_loss_gain=l1_loss_gain)
+
+    # top-down pass (residual blocks)
+    p_large = _rpan_block(b, 352, gw)
+    b.upsample()
+    b.route([b.index, taps[16]])
+    p_mid = _rpan_block(b, 176, gw)
+    b.upsample()
+    b.route([b.index, taps[8]])
+    p_small = _rpan_block(b, 96, gw)
+    pred_yolo()
+
+    # bottom-up pass: plain stride-2 down block, concat, residual merge
+    b.route(p_small)
+    down_mid = _pan_block(b, 176, gw, stride=2)
+    b.route([down_mid, p_mid])
+    out_mid = _rpan_block(b, 176, gw)
+    pred_yolo()
+
+    b.route(out_mid)
+    down_large = _pan_block(b, 352, gw, stride=2)
+    b.route([down_large, p_large])
+    _rpan_block(b, 352, gw)
+    pred_yolo()
+    return b.text()
+
+
+def _yolo_scale(b: CfgBuilder, width: int, num_classes: int, pred_ch: int,
+                bbox_loss: str, l1_loss_gain: float) -> int:
+    """One YOLOv3-style head scale (reference regnetx-600m-yolo.cfg,
+    sections 74-84): three depthwise-separable conv pairs
+    (1x1 width / dw 3x3 / 1x1 2*width), pred conv + yolo. Returns the
+    lateral tap — the THIRD pair's first 1x1 (the cfg's `route -5`)."""
+    tap = None
+    for i in range(3):
+        c1 = b.conv(width, size=1, activation='relu')
+        if i == 2:
+            tap = c1
+        b.conv(width, size=3, groups=width, activation='relu')
+        b.conv(width * 2, size=1, activation='relu')
+    b.conv(pred_ch, size=1, bn=False, activation='linear')
+    b.yolo(num_classes, bbox_loss=bbox_loss, l1_loss_gain=l1_loss_gain)
+    return tap
+
+
+def _regnet_yolo(spec: dict, se_ratio: Optional[float], num_classes: int,
+                 bbox_loss: str, l1_loss_gain: float,
+                 gt_per_grid: int = 3) -> str:
+    """Plain YOLOv3 top-down neck over the RegNet backbone (reference
+    model/cfg/regnetx-600m-yolo.cfg): depthwise-separable conv5 heads at
+    512/256/128 width, laterals tapped inside the third pair."""
+    b = CfgBuilder()
+    pred_ch = gt_per_grid * (5 + num_classes)
+    taps, _ = _backbone(b, spec, se_ratio)
+    widths = {32: 512, 16: 256, 8: 128}
+
+    tap = _yolo_scale(b, widths[32], num_classes, pred_ch, bbox_loss,
+                      l1_loss_gain)
+    for stride in (16, 8):
+        b.route(tap)
+        b.conv(widths[stride], size=1, activation='relu')
+        up = b.upsample()
+        b.route([up, taps[stride]])
+        tap = _yolo_scale(b, widths[stride], num_classes, pred_ch, bbox_loss,
+                          l1_loss_gain)
+    return b.text()
+
+
 def regnetx_600m_fpn(num_classes: int = 20, bbox_loss: str = 'giou',
                      l1_loss_gain: float = 0.05) -> str:
     return _regnet_fpn(REGNETX_600M, None, num_classes, bbox_loss, l1_loss_gain)
@@ -157,3 +250,17 @@ def regnetx_600m_pan(num_classes: int = 20, bbox_loss: str = 'giou',
 def regnety_400m_fpn(num_classes: int = 20, bbox_loss: str = 'giou',
                      l1_loss_gain: float = 0.05) -> str:
     return _regnet_fpn(REGNETY_400M, 0.25, num_classes, bbox_loss, l1_loss_gain)
+
+
+def regnetx_600m_rpan(num_classes: int = 20, bbox_loss: str = 'ciou',
+                      l1_loss_gain: float = 0.05) -> str:
+    """Residual-PAN variant (reference ships it with bbox_loss=ciou)."""
+    return _regnet_rpan(REGNETX_600M, None, num_classes, bbox_loss,
+                        l1_loss_gain)
+
+
+def regnetx_600m_yolo(num_classes: int = 20, bbox_loss: str = 'l1',
+                      l1_loss_gain: float = 0.05) -> str:
+    """Plain-YOLOv3-neck variant (reference ships it with bbox_loss=l1)."""
+    return _regnet_yolo(REGNETX_600M, None, num_classes, bbox_loss,
+                        l1_loss_gain)

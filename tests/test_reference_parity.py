@@ -191,6 +191,57 @@ def test_cfg_grammar_parity(reference):
             assert r == {k: v for k, v in o.items()}, (name, r, o)
 
 
+def test_neck_variant_structure_parity():
+    """The rpan / yolo neck generators reproduce the reference's shipped
+    cfg files (model/cfg/regnetx-600m-{rpan,yolo}.cfg) section for
+    section. Route/shortcut indices are normalised to absolute layer
+    indices (we emit absolute, the reference files use relative — same
+    graph); bbox_loss is excluded (a training hyper our builders expose
+    as a parameter, giou/ciou/l1 per variant)."""
+    from pqdet_tpu.model.cfgparse import parse_cfg
+    from pqdet_tpu.zoo import get_cfg
+
+    def absolutize(sections):
+        out = []
+        for i, s in enumerate(sections):
+            s = dict(s)
+            if s['name'] == 'route':
+                layers = s['layers'] if isinstance(s['layers'], list) \
+                    else [s['layers']]
+                s['layers'] = [l if l >= 0 else (i - 1) + l for l in layers]
+            if s['name'] == 'shortcut':
+                f = s['from']
+                s['from'] = f if f >= 0 else (i - 1) + f
+            s.pop('bbox_loss', None)
+            out.append(s)
+        return out
+
+    for name in ('regnetx-600m-rpan', 'regnetx-600m-yolo'):
+        ref_path = os.path.join(REF, 'model', 'cfg', f'{name}.cfg')
+        with open(ref_path) as fr:
+            ref_secs = absolutize(parse_cfg(fr.read()))
+        ours = absolutize(parse_cfg(get_cfg(name)))
+        assert len(ours) == len(ref_secs), name
+        for i, (a, b) in enumerate(zip(ours, ref_secs)):
+            assert a == b, (name, i, a, b)
+
+
+def test_neck_variants_forward():
+    """rpan / yolo variants build and run a jitted forward (3 scales,
+    finite outputs) — the graph executor handles their neck topologies
+    (residual-PAN shortcut-after-route; depthwise conv5 stacks)."""
+    from pqdet_tpu.model.network import DetectionNetwork
+    from pqdet_tpu.zoo import get_cfg
+
+    for name in ('regnetx-600m-rpan', 'regnetx-600m-yolo'):
+        net = DetectionNetwork.from_cfg(get_cfg(name))
+        params, state = net.init(jax.random.PRNGKey(0))
+        out = jax.jit(net.infer_fn())(params, state,
+                                      jnp.ones((1, 128, 128, 3)))
+        assert out.shape == (1, 3 * (16 * 16 + 8 * 8 + 4 * 4), 25)
+        assert bool(jnp.isfinite(out).all()), name
+
+
 def test_grad_parity_mobilenetv2_fpn(reference):
     """End-to-end TRAINING-gradient parity: d(total loss)/d(conv weights)
     of the full model vs torch autograd on identical weights, batch and
