@@ -23,6 +23,23 @@ MODEL_ZOO = {
 }
 
 
+# backbone-pretraining classifiers (reference model/cfg/classifier/*.cfg;
+# resnet50-1g is a pruner artifact — produced by compress/prune.py, not
+# a zoo entry). Build these with ClassifierNetwork, not DetectionNetwork.
+from pqdet_tpu.zoo import classifier as _classifier  # noqa: E402
+
+CLASSIFIER_ZOO = {
+    'resnet50': _classifier.resnet50,
+    'regnetx-600m': _classifier.regnetx_600m,
+    'regnety-400m': _classifier.regnety_400m,
+}
+
+
 def get_cfg(name: str, num_classes: int = 20) -> str:
     """Return cfg text for a zoo model."""
     return MODEL_ZOO[name](num_classes=num_classes)
+
+
+def get_classifier_cfg(name: str, num_classes: int = 1000) -> str:
+    """Return cfg text for a classifier zoo model."""
+    return CLASSIFIER_ZOO[name](num_classes=num_classes)

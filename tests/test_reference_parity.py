@@ -242,6 +242,54 @@ def test_neck_variants_forward():
         assert bool(jnp.isfinite(out).all()), name
 
 
+def test_classifier_zoo_structure_parity():
+    """The classifier generators reproduce the reference's shipped
+    classifier cfgs (model/cfg/classifier/{resnet50,regnetx-600m,
+    regnety-400m}.cfg) section for section. resnet50-1g.cfg is excluded:
+    its irregular widths are a slimming-pruner artifact (that capability
+    is compress/prune.py's cfg re-emission, not a designed zoo entry)."""
+    from pqdet_tpu.model.cfgparse import parse_cfg
+    from pqdet_tpu.zoo import get_classifier_cfg
+
+    def absolutize(sections):
+        out = []
+        for i, s in enumerate(sections):
+            s = dict(s)
+            if s['name'] == 'route':
+                layers = s['layers'] if isinstance(s['layers'], list) \
+                    else [s['layers']]
+                s['layers'] = [l if l >= 0 else (i - 1) + l for l in layers]
+            if s['name'] == 'shortcut':
+                f = s['from']
+                s['from'] = f if f >= 0 else (i - 1) + f
+            out.append(s)
+        return out
+
+    for name in ('resnet50', 'regnetx-600m', 'regnety-400m'):
+        path = os.path.join(REF, 'model', 'cfg', 'classifier', f'{name}.cfg')
+        with open(path) as fr:
+            ref_secs = absolutize(parse_cfg(fr.read()))
+        ours = absolutize(parse_cfg(get_classifier_cfg(name)))
+        assert len(ours) == len(ref_secs), name
+        for i, (a, b) in enumerate(zip(ours, ref_secs)):
+            assert a == b, (name, i, a, b)
+
+
+def test_classifier_zoo_forward():
+    """Classifier zoo models build and run a jitted forward to (B, 1000)
+    logits through ClassifierNetwork."""
+    from pqdet_tpu.model.network import ClassifierNetwork
+    from pqdet_tpu.zoo import CLASSIFIER_ZOO, get_classifier_cfg
+
+    for name in sorted(CLASSIFIER_ZOO):
+        net = ClassifierNetwork.from_cfg(get_classifier_cfg(name))
+        params, state = net.init(jax.random.PRNGKey(0))
+        logits, _ = jax.jit(net.apply)(params, state,
+                                       jnp.ones((2, 64, 64, 3)))
+        assert logits.shape == (2, 1000), name
+        assert bool(jnp.isfinite(logits).all()), name
+
+
 def test_grad_parity_mobilenetv2_fpn(reference):
     """End-to-end TRAINING-gradient parity: d(total loss)/d(conv weights)
     of the full model vs torch autograd on identical weights, batch and
