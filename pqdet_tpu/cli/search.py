@@ -14,13 +14,16 @@ def main():
     parser.add_argument('--max-macs', type=float, default=5e9)
     parser.add_argument('--max-latency-ms', type=float, default=None)
     parser.add_argument('--log', default='nas_search.json')
+    parser.add_argument('--seed', type=int, default=None,
+                        help='candidate-sampler seed (reproducible search)')
     args, rest = parser.parse_known_args()
 
     from pqdet_tpu.config import load_config
     from pqdet_tpu.nas.search import search
     cfg = load_config(args.yaml, rest)
     search(cfg, rounds=args.rounds, max_macs=args.max_macs,
-           log_path=args.log, max_latency_ms=args.max_latency_ms)
+           log_path=args.log, max_latency_ms=args.max_latency_ms,
+           seed=args.seed)
 
 
 if __name__ == '__main__':

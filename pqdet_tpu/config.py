@@ -202,6 +202,12 @@ DEFAULTS: Dict[str, Any] = {
         'learning_rate_init': 2e-4,
         'learning_rate_end': 1e-6,
         'weight_decay': 0.0,
+        # global-norm gradient clipping (0 = off, the reference's
+        # behavior). Opt-in stabiliser for exploratory runs — NAS
+        # candidates with deep heads can diverge at lr 4e-4 in the first
+        # warmup steps; the reference's answer is catch-and-skip
+        # (nas/search.py:70-83), this knob is the alternative
+        'grad_clip': 0.0,
         'mile_stones': [30, 45],
         'gamma': 0.1,
         'warmup_epochs': 1.0,

@@ -69,7 +69,8 @@ def generate_candidates(n: int, max_macs: float = 5e9, min_macs: float = 0.0,
 
 def search(config, rounds: int = 50, max_macs: float = 5e9,
            log_path: str = 'nas_search.json',
-           max_latency_ms: Optional[float] = None):
+           max_latency_ms: Optional[float] = None,
+           seed: Optional[int] = None):
     """Short-train candidates and log {macs, params, ap} per round."""
     from pqdet_tpu.train.trainer import Trainer
 
@@ -81,7 +82,8 @@ def search(config, rounds: int = 50, max_macs: float = 5e9,
     for i, (cfg_text, info) in enumerate(
             generate_candidates(rounds, max_macs=max_macs,
                                 max_latency_ms=max_latency_ms,
-                                num_classes=len(config.dataset.classes))):
+                                num_classes=len(config.dataset.classes),
+                                seed=seed)):
         print(f'=== candidate {i}: {info}')
         try:
             trainer = Trainer(config)

@@ -44,7 +44,8 @@ def add_sparse_l1(grads, params, sparse_ids: Set[str], ratio: float):
     return out
 
 
-def make_optimizer(schedule: Callable, weight_decay: float = 0.0):
+def make_optimizer(schedule: Callable, weight_decay: float = 0.0,
+                   grad_clip: float = 0.0):
     """Adam with torch-default betas/eps and optional L2 (reference
     trainer.py:160-163 uses optim.Adam(weight_decay=...), which is L2
     regularisation added to the gradient, not decoupled AdamW).
@@ -59,6 +60,11 @@ def make_optimizer(schedule: Callable, weight_decay: float = 0.0):
     (elementwise transform), so checkpoints/schedules are unaffected;
     only the in-jit opt_state layout changes (never persisted)."""
     txs = []
+    if grad_clip:
+        # global-norm clip (train.grad_clip, opt-in): the norm of the
+        # flattened vector equals the tree-wide global norm, so clipping
+        # inside optax.flatten is semantics-identical to clipping the tree
+        txs.append(optax.clip_by_global_norm(grad_clip))
     if weight_decay:
         txs.append(optax.add_decayed_weights(weight_decay))
     txs.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))

@@ -133,7 +133,9 @@ class Trainer:
 
         schedule = build_schedule(self.config, self.steps_per_epoch)
         self.schedule = schedule
-        self.optimizer = make_optimizer(schedule, self.config.train.weight_decay)
+        self.optimizer = make_optimizer(schedule,
+                                        self.config.train.weight_decay,
+                                        self.config.train.grad_clip)
         opt_state = self.optimizer.init(params)
         if self.global_step:
             from pqdet_tpu.train.step import resume_schedule_step

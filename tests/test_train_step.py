@@ -386,3 +386,34 @@ def test_remat_step_matches_plain():
                         jax.tree.leaves(results[k][1])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_grad_clip_optimizer():
+    """train.grad_clip: global-norm clipping inside the flattened
+    optimizer is semantics-identical to feeding pre-scaled gradients to
+    an unclipped optimizer (the flattened vector's norm IS the tree's
+    global norm); a non-binding clip is a no-op; 0 disables (reference
+    semantics -- it has none)."""
+    import optax
+
+    from pqdet_tpu.train.step import make_optimizer
+
+    grads = {'a': {'w': jnp.full((4, 4), 3.0)},
+             'b': {'w': jnp.full((8,), -2.0)}}
+    params = jax.tree.map(jnp.zeros_like, grads)
+    gnorm = float(optax.global_norm(grads))
+    clip = 0.25 * gnorm
+
+    def first_update(g, grad_clip):
+        opt = make_optimizer(lambda _: 1e-3, grad_clip=grad_clip)
+        st = opt.init(params)
+        upd, _ = opt.update(g, st, params)
+        return jax.tree.leaves(upd)
+
+    # binding clip == manual pre-scale through the unclipped optimizer
+    scaled = jax.tree.map(lambda x: x * (clip / gnorm), grads)
+    for a, b in zip(first_update(grads, clip), first_update(scaled, 0.0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    # non-binding clip is a no-op
+    for a, b in zip(first_update(grads, 2 * gnorm), first_update(grads, 0.0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
