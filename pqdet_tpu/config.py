@@ -155,6 +155,10 @@ VOC_CLASSES = ['aeroplane', 'bicycle', 'bird', 'boat', 'bottle', 'bus',
 # TPU-specific `system` group replacing GPU ids with mesh controls.
 DEFAULTS: Dict[str, Any] = {
     'system': {
+        # force a JAX platform ('cpu' for rehearsals/CI on hosts whose
+        # site file pins the TPU tunnel — the JAX_PLATFORMS env var is
+        # overridden there). '' = the environment default.
+        'platform': '',
         'num_workers': 4,          # host-side data pipeline workers
         # 'thread' (cv2/numpy release the GIL) or 'process' (spawned
         # worker pool + shared-memory slabs; scales past the GIL on
@@ -165,7 +169,11 @@ DEFAULTS: Dict[str, Any] = {
         # bf16 conv compute (f32 accumulate/BN/loss): ~1.8x faster training
         # on TPU with matching loss curves; set 'float32' for bitwise parity
         'compute_dtype': 'bfloat16',
-        'prefetch': 2,             # device prefetch depth
+        'prefetch': 2,             # host batch prefetch depth (loader queue)
+        # uploaded-batch prefetch: a background thread device_puts the next
+        # N groups so the host->device transfer overlaps the current step's
+        # compute (0 = synchronous upload in the train loop)
+        'device_prefetch': 2,
         # 'device': batches carry only padded GT boxes and the label grids
         # are built inside the jitted step (ops/labels.py) — ~4x fewer
         # host->device bytes and the loader sheds its hottest non-decode
@@ -255,6 +263,10 @@ DEFAULTS: Dict[str, Any] = {
     },
     'eval': {
         'after': 30,
+        # evaluate every Nth epoch once past eval.after (the final epoch
+        # always evaluates). 1 = reference parity (trainer.py:311-316
+        # evals every epoch); >1 amortises eval cost over long runs.
+        'interval': 1,
         'input_size': 512,
         'batch_size': 16,
         'score_threshold': 0.1,
@@ -319,6 +331,11 @@ def load_config(yaml_path: str = None, opts: List[str] = None,
         cfg.merge_from_list(list(opts))
     if freeze:
         cfg.freeze()
+    if cfg.system.platform:
+        # must run before any JAX backend init; config.update is the only
+        # channel that beats the site file's JAX_PLATFORMS override
+        import jax
+        jax.config.update('jax_platforms', cfg.system.platform)
     return cfg
 
 

@@ -59,23 +59,42 @@ def make_batch_predict(run, params) -> Callable[[Dict], List[np.ndarray]]:
     """Wrap a pipeline into the Evaluator's predict contract:
     batch dict -> list of per-image (M, 6) numpy detections.
 
-    Logs once per eval if any image's NMS candidate pool overflowed (more
-    above-threshold (box, class) pairs than max_detections * pool_factor):
-    detections are then the top-scored subset and AP may shift; the fix is
-    raising eval.pool_factor.
+    Two saturation modes are detected and loudly warned about, once per
+    eval each (the torch reference's NMS output is unbounded,
+    tools.py:540-566, so either cap silently drops detections on crowded
+    images relative to it):
+
+    - pool overflow: more above-threshold (box, class) pairs than
+      ``max_detections * pool_factor`` — candidates beyond the pool never
+      enter NMS. Fix: raise ``eval.pool_factor``.
+    - output saturation: an image KEPT exactly ``max_detections`` boxes,
+      i.e. the fixed-size output is full and further survivors were
+      dropped (round-3 diffeval lost 64 detections on 3 max-crowding
+      images this way). Fix: raise ``eval.max_detections``.
     """
-    warned = [False]
+    warned = {'overflow': False, 'saturated': False}
 
     def predict(batch):
         res = run(params, jnp.asarray(batch['image']),
                   jnp.asarray(batch['shape']))
         res = jax.tree.map(np.asarray, res)  # one device->host transfer
-        n_over = int(res.overflow[:batch['count']].sum())
-        if n_over and not warned[0]:
-            warned[0] = True
+        n = batch['count']
+        max_det = res.valid.shape[1]
+        n_over = int(res.overflow[:n].sum())
+        if n_over and not warned['overflow']:
+            warned['overflow'] = True
             print(f'WARNING: NMS candidate pool overflowed on {n_over} '
-                  f'image(s) in a batch; raise eval.pool_factor '
-                  f'(detections beyond the pool are dropped).')
+                  f'image(s) in a batch (pool = eval.max_detections * '
+                  f'eval.pool_factor top-scored candidates; the rest '
+                  f'never enter NMS). Double eval.pool_factor.')
+        n_sat = int((res.valid[:n].sum(axis=1) == max_det).sum())
+        if n_sat and not warned['saturated']:
+            warned['saturated'] = True
+            print(f'WARNING: NMS output saturated on {n_sat} image(s) in '
+                  f'a batch — exactly eval.max_detections={max_det} boxes '
+                  f'kept, so lower-scored survivors were dropped (the '
+                  f'reference pipeline is unbounded). Raise '
+                  f'eval.max_detections (e.g. {2 * max_det}).')
         return [nms_to_numpy(jax.tree.map(lambda x: x[i], res))
-                for i in range(batch['count'])]
+                for i in range(n)]
     return predict

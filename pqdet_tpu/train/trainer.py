@@ -434,13 +434,53 @@ class Trainer:
     # queue OOMs mid-epoch when the data pipeline outruns the device)
     PIPELINE_DEPTH = 4
 
+    def _device_batches(self):
+        """Yield (device batch, steps) with the host->device upload of the
+        NEXT group overlapped with the current step's compute: a background
+        thread runs _put_batch ahead of consumption. On the axon tunnel an
+        upload costs ~wire time for ~11 MB/batch; the round-3 ladder ran
+        ~470 ms/step wall against ~45 ms device time because upload and
+        dispatch serialised in one loop. Batch order (and therefore RNG
+        consumption and global_step accounting) is unchanged; the queue
+        depth bounds extra HBM-resident input batches."""
+        import queue
+        import threading
+
+        depth = max(int(getattr(self.config.system, 'device_prefetch', 2)), 0)
+        if depth == 0:  # opt-out: synchronous upload in the consumer loop
+            for batch, steps in self._grouped_batches():
+                yield self._put_batch(batch), steps
+            return
+        q = queue.Queue(maxsize=depth)
+        err = []
+
+        def work():
+            try:
+                for batch, steps in self._grouped_batches():
+                    q.put((self._put_batch(batch), steps))
+            except BaseException as e:  # surfaced in the consumer below
+                err.append(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=work, daemon=True,
+                             name='device-prefetch')
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
+
     def train_epoch(self, epoch: int):
         pending = []
         in_flight = []
         self.dataload_tt.tic()
-        for batch, steps in self._grouped_batches():
+        for batch, steps in self._device_batches():
             self.global_step += steps
-            batch = self._put_batch(batch)
             self.dataload_tt.toc()
 
             self.model_tt.tic()
@@ -494,7 +534,12 @@ class Trainer:
             # only (params are replicated; other hosts proceed and block at
             # the next epoch's first global dispatch)
             if getattr(self, '_is_main', True):
-                if epoch >= self._eval_after:
+                interval = max(int(getattr(self.config.eval, 'interval', 1)),
+                               1)
+                due = (epoch >= self._eval_after
+                       and (epoch - self._eval_after) % interval == 0)
+                if due or (epoch == self._max_epochs - 1
+                           and epoch >= self._eval_after):
                     self.evaluate()
                 self.save(epoch)
 

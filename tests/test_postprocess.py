@@ -211,3 +211,61 @@ def test_recover_clamps():
     out = np.asarray(recover_bboxes(pred, input_size, orig))
     assert out[0, 0, 0] >= 0 and out[0, 0, 1] >= 0
     assert out[0, 0, 2] <= 63 and out[0, 0, 3] <= 47
+
+
+def test_nms_crowding_300_objects_saturates_then_fits():
+    """Crowding regression (round-3 diffeval lost 64 detections on 3
+    max-crowding images at the eval.max_detections=256 cap): 320 disjoint
+    confident objects saturate a 256-slot output exactly, and a bumped cap
+    keeps every one (the torch reference pipeline is unbounded,
+    tools.py:540-566)."""
+    n, c = 320, 20
+    boxes = np.zeros((n, 4), np.float32)
+    scores = np.zeros((n, c), np.float32)
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        # disjoint 8x8 grid cells on a 512 canvas: 18x18 cells > 320
+        r, col = divmod(i, 18)
+        x, y = col * 28.0, r * 28.0
+        boxes[i] = [x + 1, y + 1, x + 25, y + 25]
+        scores[i, i % c] = 0.5 + 0.4 * rng.rand()
+    bs = jnp.array(np.concatenate([boxes, scores], -1))
+
+    sat = nms_single(bs, 0.1, 0.45, max_outputs=256, pool_factor=4)
+    assert int(np.asarray(sat.valid).sum()) == 256  # output cap hit
+
+    fit = nms_single(bs, 0.1, 0.45, max_outputs=512, pool_factor=4)
+    assert int(np.asarray(fit.valid).sum()) == n  # every object kept
+    kept = nms_to_numpy(fit)
+    assert kept.shape[0] == n
+
+
+def test_batch_predict_saturation_warning(capsys):
+    """make_batch_predict must loudly flag a saturated fixed-size NMS
+    output (kept == eval.max_detections) with the suggested bump."""
+    from pqdet_tpu.evaluation.predict import make_batch_predict
+    from pqdet_tpu.ops.postprocess import NMSResult
+
+    def fake_run(params, images, shapes, k=256, full=True):
+        nkeep = k if full else k // 2
+        valid = np.arange(k) < nkeep
+        return NMSResult(
+            boxes=jnp.zeros((1, k, 4), jnp.float32),
+            scores=jnp.where(jnp.asarray(valid), 0.9, 0.0)[None, :],
+            classes=jnp.zeros((1, k), jnp.int32),
+            valid=jnp.asarray(valid)[None, :],
+            overflow=jnp.zeros((1,), bool))
+
+    batch = {'image': np.zeros((1, 8, 8, 3), np.uint8),
+             'shape': np.array([[8.0, 8.0]], np.float32), 'count': 1}
+
+    predict = make_batch_predict(fake_run, params=None)
+    dets = predict(batch)
+    out = capsys.readouterr().out
+    assert 'Raise eval.max_detections' in out and '512' in out
+    assert dets[0].shape == (256, 6)
+
+    predict2 = make_batch_predict(
+        lambda p, i, s: fake_run(p, i, s, full=False), params=None)
+    predict2(batch)
+    assert 'max_detections' not in capsys.readouterr().out

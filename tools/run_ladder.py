@@ -302,9 +302,13 @@ def main():
                   'experiment_name', 'clutter_sparse',
                   'weight.resume', fp_ckpt, 'weight.clear_history', 'on',
                   'sparse.switch', 'on', 'sparse.ratio', '0.005',
-                  'train.max_epochs', '6',
+                  # round 4: 12 sparse epochs (the round-3 6-epoch budget
+                  # left the fp baseline's undertraining visible in the
+                  # sparse delta; the reference sparse-trains much longer
+                  # before pruning, prune.py:12-30)
+                  'train.max_epochs', '12',
                   'train.learning_rate_init', '1e-4',
-                  'eval.after', '4'] + EXTRA,
+                  'eval.after', '7', 'eval.interval', '2'] + EXTRA,
                  os.path.join(LOGDIR, 'ladder_sparse.log'), 'clutter_sparse')
         log = os.path.join(LOGDIR, 'ladder_sparse.log')
         ap50, ap = last_ap(log)
@@ -320,12 +324,10 @@ def main():
                   'prune.weight', sp_ckpt,
                   'prune.new_cfg', os.path.join(W, 'clutter_pruned.cfg'),
                   'prune.ratio', '0.3',
-                  # 10 finetune epochs, evaluated EVERY epoch: the first
-                  # ladder's 6 blind epochs left AP50 at 50.1 vs the
-                  # sparse ckpt's 80.1 with no recovery curve to judge
-                  # convergence by (reference fine-tunes 20 epochs,
-                  # trainer.py run_prune)
-                  'prune.finetune_epochs', '10',
+                  # 15 finetune epochs, evaluated EVERY epoch (recovery
+                  # curve; reference fine-tunes 20 epochs, trainer.py
+                  # run_prune — round 3's 10 left the curve still rising)
+                  'prune.finetune_epochs', '15',
                   'train.learning_rate_init', '1e-4',
                   'eval.after', '0'] + EXTRA,
                  os.path.join(LOGDIR, 'ladder_prune.log'))
