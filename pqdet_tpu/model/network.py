@@ -68,7 +68,7 @@ class Network:
               targets: Optional[tuple] = None, train: bool = False,
               rng=None, compute_dtype=None, quant_ctx=None,
               pallas_decode: bool = False, remat_segments: int = 0,
-              dense_groups: bool = True):
+              dense_groups: bool = True, fused_ir: Optional[Dict] = None):
         """Run the graph. Returns (outputs, new_state).
 
         ``outputs`` is the list of yolo-head results (decoded preds in
@@ -124,7 +124,8 @@ class Network:
         x, _, updates, outputs, _ = self._walk(
             self.graph.nodes, params, state, x, {}, rng, targets=targets,
             train=train, compute_dtype=compute_dtype, quant_ctx=quant_ctx,
-            pallas_decode=pallas_decode, dense_groups=dense_groups)
+            pallas_decode=pallas_decode, dense_groups=dense_groups,
+            fused_ir=fused_ir)
         new_state.update(updates)
         if not outputs:
             return x, new_state
@@ -133,18 +134,46 @@ class Network:
     def _walk(self, nodes, params: Dict, state: Dict, x, cache: Dict,
               rng, targets=None, train: bool = False, compute_dtype=None,
               quant_ctx=None, pallas_decode: bool = False,
-              dense_groups: bool = True):
+              dense_groups: bool = True, fused_ir: Optional[Dict] = None):
         """Run a contiguous span of graph nodes. Returns
         (x, live cache, state updates, head outputs, rng) — a pure pytree
-        signature so spans can be wrapped in jax.checkpoint."""
+        signature so spans can be wrapped in jax.checkpoint.
+
+        ``fused_ir`` (inference only; from ops.pallas_fused.prepare_fused_ir
+        on BN-fused params): {start_index: fused-block entry} — the walk
+        replaces each [1x1 expand]->[dw3x3]->[1x1 project] chain with ONE
+        Pallas kernel whose expanded activation never touches HBM, then
+        skips the constituent nodes."""
         cache = dict(cache)
         new_state: Dict[str, dict] = {}
         outputs = []
         last_use = self.graph.last_use
+        skip = set()
 
         for node in nodes:
             i = node.index
             kind = node.kind
+            if i in skip:
+                continue
+            if fused_ir is not None and i in fused_ir \
+                    and quant_ctx is None and not train:
+                from pqdet_tpu.ops.pallas_fused import fused_ir_conv
+                f = fused_ir[i]
+                x = fused_ir_conv(
+                    x, f['we'], f['be'], f['wdw'], f['bdw'], f['wp'],
+                    f['bp'], act_e=f['act_e'], act_dw=f['act_dw'],
+                    act_p=f['act_p'],
+                    interpret=f.get('interpret', False))[..., :f['cout']]
+                if compute_dtype is not None and x.dtype != compute_dtype:
+                    x = x.astype(compute_dtype)
+                skip.update(f['skip'])
+                end = f['end']
+                if end in last_use:
+                    cache[end] = x
+                for j in [j for j in cache
+                          if last_use.get(j, -1) <= end and j != end]:
+                    del cache[j]
+                continue
             p = params.get(str(i))
             if kind == 'convolutional':
                 a = node.attrs
@@ -242,12 +271,12 @@ class DetectionNetwork(Network):
 
     def apply(self, params, state, x, targets=None, train=False, rng=None,
               compute_dtype=None, quant_ctx=None, pallas_decode=False,
-              remat_segments=0, dense_groups=True):
+              remat_segments=0, dense_groups=True, fused_ir=None):
         outputs, new_state = super().apply(
             params, state, x, targets=targets, train=train, rng=rng,
             compute_dtype=compute_dtype, quant_ctx=quant_ctx,
             pallas_decode=pallas_decode, remat_segments=remat_segments,
-            dense_groups=dense_groups)
+            dense_groups=dense_groups, fused_ir=fused_ir)
         if targets is None:
             flat = [o.reshape(o.shape[0], -1, o.shape[-1]) for o in outputs]
             return jnp.concatenate(flat, axis=1), new_state

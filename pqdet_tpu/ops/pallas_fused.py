@@ -156,9 +156,15 @@ def fused_ir_conv(x: jnp.ndarray, we, be, wdw, bdw, wp, bp, *,
     kern = functools.partial(_fused_ir_kernel, act_e=act_e, act_dw=act_dw,
                              act_p=act_p, th=th, h=h, w=w, nk=nk,
                              expand=expand)
+    # with an expand conv the window carries the FULL Cin (the expand
+    # matmul selects the k-th E chunk); a bare dw+pw pair instead chunks
+    # the window's own channel axis by k (Cin == E there)
+    xdim = cin if expand else TE
+    kx = (lambda k: 0) if expand else (lambda k: k)
     halo = lambda off: pl.BlockSpec(
-        (1, 1, w, cin),
-        lambda ni, i, k, _o=off: (ni, jnp.clip(i * th + _o, 0, h - 1), 0, 0),
+        (1, 1, w, xdim),
+        lambda ni, i, k, _o=off: (ni, jnp.clip(i * th + _o, 0, h - 1), 0,
+                                  kx(k)),
         memory_space=pltpu.VMEM)
 
     if expand:
@@ -187,7 +193,8 @@ def fused_ir_conv(x: jnp.ndarray, we, be, wdw, bdw, wp, bp, *,
         grid=grid,
         in_specs=[
             halo(-1),
-            pl.BlockSpec((1, th, w, cin), lambda ni, i, k: (ni, i, 0, 0),
+            pl.BlockSpec((1, th, w, xdim),
+                         lambda ni, i, k: (ni, i, 0, kx(k)),
                          memory_space=pltpu.VMEM),
             halo(th),
             *e_specs,
@@ -244,6 +251,94 @@ def pad_fused_weights(we, be, wdw, bdw, wp, bp):
     else:
         we2 = None
     return we2, be, wdw9, bdw, wp2, bp, cout
+
+
+_FUSABLE_ACTS = ('relu6', 'relu', 'leaky', 'linear', 'none', 'logistic')
+
+
+def find_fused_triples(graph):
+    """Scan a Graph for [1x1 conv] -> [dw3x3 s1 p1] -> [1x1 conv] chains
+    whose inner activations feed ONLY the next node (not in last_use),
+    i.e. the inverted-residual stacks the fused kernel can collapse.
+    Returns [(a, b, c)] node-index triples; also emits (None, b, c) bare
+    dw+pw pairs when the dw's predecessor is not a fusable 1x1 but the
+    dw channel count is already a whole number of lane tiles."""
+    out = []
+    nodes = graph.nodes
+    last_use = graph.last_use
+
+    def conv(n):
+        return n.kind == 'convolutional'
+
+    def is_pw(n):
+        a = n.attrs
+        return conv(n) and a['size'] == 1 and a['stride'] == 1 \
+            and a['groups'] == 1 and a['activation'] in _FUSABLE_ACTS
+
+    def is_dw_s1(n):
+        a = n.attrs
+        return conv(n) and a['size'] == 3 and a['stride'] == 1 \
+            and a['groups'] == n.in_channels \
+            and n.in_channels == n.out_channels \
+            and a['activation'] in _FUSABLE_ACTS
+
+    used = set()
+    for i in range(len(nodes) - 2):
+        a, b, c = nodes[i], nodes[i + 1], nodes[i + 2]
+        if i in used or not (is_pw(a) and is_dw_s1(b) and is_pw(c)):
+            continue
+        # a and b outputs must be private to the chain (last_use includes
+        # the implicit i -> i+1 edge; anything later means a skip ref)
+        if last_use.get(a.index, -1) > b.index \
+                or last_use.get(b.index, -1) > c.index:
+            continue
+        out.append((a.index, b.index, c.index))
+        used.update((i, i + 1, i + 2))
+    for i in range(len(nodes) - 1):
+        b, c = nodes[i], nodes[i + 1]
+        if i in used or i + 1 in used or not (is_dw_s1(b) and is_pw(c)):
+            continue
+        if last_use.get(b.index, -1) > c.index or b.in_channels % TE:
+            continue
+        out.append((None, b.index, c.index))
+        used.update((i, i + 1))
+    return out
+
+
+def prepare_fused_ir(network, fused_params, min_e: int = 0,
+                     interpret: bool = False):
+    """Build the walk-time fusion table from BN-fused inference params:
+    {start_node_index: {kernel kwargs + padded weights + skip set}}.
+    ``min_e`` drops blocks whose expanded width is below the
+    profitability threshold (set from the hardware microbench)."""
+    table = {}
+    nodes = {n.index: n for n in network.graph.nodes}
+    for a, b, c in find_fused_triples(network.graph):
+        nb, nc = nodes[b], nodes[c]
+        if nb.in_channels < min_e:
+            continue
+        pb, pc = fused_params[str(b)], fused_params[str(c)]
+        if 'bn' in pb or 'bn' in pc or 'b' not in pb or 'b' not in pc:
+            continue  # only BN-fused inference params
+        if a is not None:
+            pa = fused_params[str(a)]
+            if 'bn' in pa or 'b' not in pa:
+                continue
+            we, be = pa['w'], pa['b']
+            act_e = nodes[a].attrs['activation']
+        else:
+            we = be = None
+            act_e = 'linear'
+        wep, bep, wdw9, bdwp, wpp, bpp, cout = pad_fused_weights(
+            we, be, pb['w'], pb['b'], pc['w'], pc['b'])
+        start = a if a is not None else b
+        table[start] = dict(
+            we=wep, be=bep, wdw=wdw9, bdw=bdwp, wp=wpp, bp=bpp, cout=cout,
+            act_e=act_e, act_dw=nodes[b].attrs['activation'],
+            act_p=nodes[c].attrs['activation'], interpret=interpret,
+            skip=tuple(x for x in (a, b, c) if x is not None and x != start),
+            end=c)
+    return table
 
 
 def fused_ir_reference(x, we, be, wdw, bdw, wp, bp, *, act_e='relu6',

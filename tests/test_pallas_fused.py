@@ -93,3 +93,29 @@ def test_fused_ir_border_zero_pad_semantics():
     o = np.asarray(out, np.float32)
     tol = 0.02 * max(1.0, np.abs(r).max())
     np.testing.assert_allclose(o, r, atol=tol)
+
+
+def test_full_network_fused_walk_parity():
+    """Whole mobilenetv2-fpn forward with the fused-walk table (interpret
+    kernels) vs the plain layer walk on the same BN-fused params."""
+    from pqdet_tpu.model.network import DetectionNetwork, fuse_params
+    from pqdet_tpu.ops.pallas_fused import find_fused_triples, prepare_fused_ir
+    from pqdet_tpu.zoo import get_cfg
+
+    net = DetectionNetwork.from_cfg(get_cfg('mobilenetv2-fpn'))
+    params, state = net.init(jax.random.PRNGKey(0))
+    fused = fuse_params(net, params, state)
+    table = prepare_fused_ir(net, fused, interpret=True)
+    assert len(table) >= 12, f'only {len(table)} fused blocks'
+
+    x = jnp.asarray(np.random.RandomState(0)
+                    .rand(1, 64, 64, 3).astype(np.float32))
+    ref, _ = net.apply(fused, {}, x, compute_dtype=jnp.bfloat16)
+    out, _ = net.apply(fused, {}, x, compute_dtype=jnp.bfloat16,
+                       fused_ir=table)
+    r = np.asarray(ref, np.float32)
+    o = np.asarray(out, np.float32)
+    assert o.shape == r.shape
+    # scores (sigmoid'd) tight; boxes scale with stride
+    np.testing.assert_allclose(o[..., 4:], r[..., 4:], atol=0.03)
+    np.testing.assert_allclose(o[..., :4], r[..., :4], atol=1.5)

@@ -89,13 +89,14 @@ def parse_hlo(hlo_text: str):
         if not m:
             continue
         name, rhs = m.groups()
-        p = rhs.find('(')
-        if p < 0:
+        # "<shape>{layout with T(8,128) parens} opcode(operands), attrs" —
+        # the opcode is the first SPACE-preceded lowercase token followed
+        # by '(' (layout tile parens are preceded by ':' or ')')
+        mop = re.search(r'\s([a-z][\w\-]*)\(', rhs)
+        if not mop:
             continue
-        toks = rhs[:p].strip().rsplit(' ', 1)
-        if len(toks) != 2:
-            continue
-        out_shape, opcode = toks
+        out_shape, opcode = rhs[:mop.start()], mop.group(1)
+        p = mop.end() - 1
         endp = _matching_paren(rhs, p)
         raw[name] = (out_shape, opcode, rhs[p + 1:endp], rhs[endp + 1:])
         comp_of[name] = cur_comp
