@@ -57,41 +57,48 @@ def _round_up(v: int, m: int) -> int:
 
 def _fused_ir_kernel(x0_ref, x1_ref, x2_ref, we_ref, be_ref, wdw_ref,
                      bdw_ref, wp_ref, bp_ref, o_ref, acc_ref, *,
-                     act_e: str, act_dw: str, act_p: str, th: int, h: int,
-                     w: int, nk: int, expand: bool):
+                     act_e: str, act_dw: str, act_p: str, nb: int, th: int,
+                     h: int, w: int, nk: int, expand: bool):
     i = pl.program_id(1)
     k = pl.program_id(2)
 
-    win = jnp.concatenate([x0_ref[0], x1_ref[0], x2_ref[0]],
-                          axis=0)  # (th+2, w, cin) bf16
+    # (nb, th+2, w, cin): nb images per program — small-spatial layers
+    # (16^2/32^2) were per-program-overhead-bound with one image each in
+    # the first hardware A/B
+    win = jnp.concatenate([x0_ref[:], x1_ref[:], x2_ref[:]], axis=1)
+    cin = win.shape[-1]
+    # W pad happens on the NARROW input window (cin lanes), never on the
+    # expanded tensor — a second 128-lane concatenate per chunk measured
+    # ~35% of kernel time in the first hardware A/B
+    zcol = jnp.zeros((nb, th + 2, 1, cin), jnp.bfloat16)
+    win = jnp.concatenate([zcol, win, zcol], axis=2)  # (nb, th+2, w+2, cin)
     if expand:
-        cin = win.shape[-1]
-        xe = jnp.dot(win.reshape((th + 2) * w, cin), we_ref[:],
+        xe = jnp.dot(win.reshape(nb * (th + 2) * (w + 2), cin), we_ref[:],
                      preferred_element_type=jnp.float32)
         xe = _apply_act(act_e, xe + be_ref[:])
-        xe = xe.reshape(th + 2, w, TE)
+        xe = xe.reshape(nb, th + 2, w + 2, TE)
     else:
         xe = win.astype(jnp.float32)
 
     # dw zero-pad domain: rows outside the image (the clamped halo
-    # duplicated a real row) and the W borders are 0
+    # duplicated a real row) and the W borders are 0. Masking runs AFTER
+    # the expand: relu6(expand(0)) != 0 once BN folds into the bias.
     row0 = i * th - 1
-    gidx = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0) + row0
-    xe = jnp.where((gidx >= 0) & (gidx < h), xe, 0.0)
-    xe = xe.astype(jnp.bfloat16)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (1, th + 2, 1, 1), 1) + row0
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w + 2, 1), 2)
+    ok = ((gidx >= 0) & (gidx < h)) & ((cidx >= 1) & (cidx <= w))
+    xe = jnp.where(ok, xe, 0.0).astype(jnp.bfloat16)
     te = xe.shape[-1]
-    zcol = jnp.zeros((th + 2, 1, te), jnp.bfloat16)
-    xe = jnp.concatenate([zcol, xe, zcol], axis=1)  # (th+2, w+2, te)
 
-    acc = jnp.zeros((th, w, te), jnp.float32)
+    acc = jnp.zeros((nb, th, w, te), jnp.float32)
     for kh in range(3):
-        rows = jax.lax.slice_in_dim(xe, kh, kh + th, axis=0)
+        rows = jax.lax.slice_in_dim(xe, kh, kh + th, axis=1)
         for kw in range(3):
-            tap = jax.lax.slice_in_dim(rows, kw, kw + w, axis=1)
+            tap = jax.lax.slice_in_dim(rows, kw, kw + w, axis=2)
             acc = acc + wdw_ref[3 * kh + kw, :].astype(jnp.float32) \
                 * tap.astype(jnp.float32)
     y = _apply_act(act_dw, acc + bdw_ref[:])
-    y = y.astype(jnp.bfloat16).reshape(th * w, te)
+    y = y.astype(jnp.bfloat16).reshape(nb * th * w, te)
 
     part = jnp.dot(y, wp_ref[:], preferred_element_type=jnp.float32)
 
@@ -107,15 +114,15 @@ def _fused_ir_kernel(x0_ref, x1_ref, x2_ref, we_ref, be_ref, wdw_ref,
     def _emit():
         p = acc_ref.shape[-1]
         o_ref[:] = _apply_act(act_p, acc_ref[:]) \
-            .astype(o_ref.dtype).reshape(1, th, w, p)
+            .astype(o_ref.dtype).reshape(nb, th, w, p)
 
 
 def _row_block(th: int):
     """VMEM model per program at row-block th (bytes), W=w, chunk TE:
     window bf16 + expanded bf16 + tap/dw f32 + projection/acc f32."""
     def model(w, cin, p):
-        win = (th + 2) * w * cin * 2 * 2          # 3 specs, double-buffered
-        xe = (th + 2) * (w + 2) * TE * 2
+        win = (th + 2) * (w + 2) * cin * 2 * 2    # 3 specs, double-buffered
+        xe = (th + 2) * (w + 2) * (TE * 2 + 4)    # bf16 + f32 pre-mask
         dw = 2 * th * w * TE * 4                   # acc + live tap temp
         proj = th * w * (TE * 2 + 2 * p * 4)       # y bf16 + part/acc f32
         out = th * w * p * 2 * 2
@@ -144,17 +151,25 @@ def fused_ir_conv(x: jnp.ndarray, we, be, wdw, bdw, wp, bp, *,
     assert e % TE == 0 and p % 128 == 0, (e, p)
     nk = e // TE
 
-    # choose th: largest divisor of h whose VMEM model stays under ~4 MB
-    # (scoped ceiling 16 MB; round-3 lesson: real usage is several x the
-    # nominal windows, so model everything and stay conservative)
+    # choose (nb, th): largest row block (then images-per-program) whose
+    # VMEM model stays under ~6 MB (scoped ceiling 16 MB; round-3 lesson:
+    # real usage is several x the nominal windows). Small-spatial layers
+    # then pack many images per program — the first hardware A/B showed
+    # them per-program-overhead-bound at one image each.
+    budget = 6 << 20
     th = h
-    while th > 1 and _row_block(th)(w, cin, p) > (4 << 20):
+    while th > 1 and _row_block(th)(w, cin, p) > budget:
         th //= 2
     while h % th:
         th -= 1
+    nb = 1
+    if th == h:
+        while nb < n and n % (nb * 2) == 0 \
+                and (nb * 2) * _row_block(th)(w, cin, p) <= budget:
+            nb *= 2
 
     kern = functools.partial(_fused_ir_kernel, act_e=act_e, act_dw=act_dw,
-                             act_p=act_p, th=th, h=h, w=w, nk=nk,
+                             act_p=act_p, nb=nb, th=th, h=h, w=w, nk=nk,
                              expand=expand)
     # with an expand conv the window carries the FULL Cin (the expand
     # matmul selects the k-th E chunk); a bare dw+pw pair instead chunks
@@ -162,7 +177,7 @@ def fused_ir_conv(x: jnp.ndarray, we, be, wdw, bdw, wp, bp, *,
     xdim = cin if expand else TE
     kx = (lambda k: 0) if expand else (lambda k: k)
     halo = lambda off: pl.BlockSpec(
-        (1, 1, w, xdim),
+        (nb, 1, w, xdim),
         lambda ni, i, k, _o=off: (ni, jnp.clip(i * th + _o, 0, h - 1), 0,
                                   kx(k)),
         memory_space=pltpu.VMEM)
@@ -187,13 +202,13 @@ def fused_ir_conv(x: jnp.ndarray, we, be, wdw, bdw, wp, bp, *,
         z = jnp.zeros((1, TE), jnp.float32)
         e_args = (z.astype(jnp.bfloat16), z)
 
-    grid = (n, h // th, nk)
+    grid = (n // nb, h // th, nk)
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             halo(-1),
-            pl.BlockSpec((1, th, w, xdim),
+            pl.BlockSpec((nb, th, w, xdim),
                          lambda ni, i, k: (ni, i, 0, kx(k)),
                          memory_space=pltpu.VMEM),
             halo(th),
@@ -207,10 +222,11 @@ def fused_ir_conv(x: jnp.ndarray, we, be, wdw, bdw, wp, bp, *,
             pl.BlockSpec((1, p), lambda ni, i, k: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, th, w, p), lambda ni, i, k: (ni, i, 0, 0),
+        out_specs=pl.BlockSpec((nb, th, w, p),
+                               lambda ni, i, k: (ni, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, p), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((th * w, p), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((nb * th * w, p), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * w * (cin * e + 9 * e + e * p),
             bytes_accessed=n * h * w * (cin + p) * 2

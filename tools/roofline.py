@@ -116,6 +116,11 @@ def parse_hlo(hlo_text: str):
                 op_bytes += _shape_bytes(raw[op][0])
         if op_bytes == 0:  # operand shapes inlined instead (some printers)
             op_bytes = _shape_bytes(operands_str)
+        if opcode in ('slice', 'dynamic-slice', 'gather', 'slice-start',
+                      'slice-done', 'dynamic-slice-start',
+                      'dynamic-slice-done'):
+            # a slice reads only its window, not the whole operand
+            op_bytes = min(op_bytes, out_bytes)
         mcall = re.search(r'calls=%?([\w.\-]+)', tail)
         flops = 0.0
         if opcode == 'convolution' and len(operand_names) >= 2 \
