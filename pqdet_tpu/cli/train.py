@@ -4,12 +4,17 @@
 """
 
 import argparse
+import faulthandler
+import signal
 
 from pqdet_tpu.config import load_config
 from pqdet_tpu.train.trainer import Trainer
 
 
 def main():
+    # `kill -USR1 <pid>` dumps all thread stacks to stderr — the one
+    # diagnostic channel for a wedged run on the axon tunnel
+    faulthandler.register(signal.SIGUSR1)
     parser = argparse.ArgumentParser(description='trainer configuration')
     parser.add_argument('--yaml', default=None)
     args, rest = parser.parse_known_args()
