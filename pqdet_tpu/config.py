@@ -172,8 +172,12 @@ DEFAULTS: Dict[str, Any] = {
         'prefetch': 2,             # host batch prefetch depth (loader queue)
         # uploaded-batch prefetch: a background thread device_puts the next
         # N groups so the host->device transfer overlaps the current step's
-        # compute (0 = synchronous upload in the train loop)
-        'device_prefetch': 2,
+        # compute. Default OFF: uploads measure ~13 ms/batch on the axon
+        # tunnel (not the round-3 bottleneck — that was the per-scalar
+        # metric fetches, see _flush_metrics) and a put-thread concurrent
+        # with main-thread dispatch wedged the tunnel client mid-epoch
+        # (thread-stack dump in the round-4 notes).
+        'device_prefetch': 0,
         # 'device': batches carry only padded GT boxes and the label grids
         # are built inside the jitted step (ops/labels.py) — ~4x fewer
         # host->device bytes and the loader sheds its hottest non-decode
