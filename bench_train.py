@@ -170,13 +170,16 @@ def zoo(bs=16, models=None, dense_ab=False):
                   f'{REF_EPOCH_S[model]}s)', flush=True)
 
 
-def profile(model='mobilenetv2-fpn', bs=32):
+def profile(model='mobilenetv2-fpn', bs=32, device_augment=False):
     """Per-op device-time breakdown of one train step (fwd+bwd+opt) from a
-    jax.profiler trace (VERDICT r2 item 5)."""
+    jax.profiler trace (VERDICT r2 item 5). device_augment=True profiles
+    the augment.device production step (flips/zoom-crop/mosaic/mixup
+    inside the jit)."""
     import jax
     from tools.tpuprof import profile_device_ops
 
-    jstep, carry, batch = _setup(bs, 512, model=model)
+    jstep, carry, batch = _setup(bs, 512, model=model,
+                                 device_augment=device_augment)
     params, state, opt_state = carry
     rngs = jax.random.split(jax.random.PRNGKey(1), 9)
     params, state, opt_state, m = jstep(params, state, opt_state, batch,
@@ -213,7 +216,8 @@ if __name__ == '__main__':
             dense_ab='--ab' in sys.argv)
     elif mode == 'profile':
         profile(model=sys.argv[2] if len(sys.argv) > 2 else 'mobilenetv2-fpn',
-                bs=int(sys.argv[3]) if len(sys.argv) > 3 else 32)
+                bs=int(sys.argv[3]) if len(sys.argv) > 3 else 32,
+                device_augment='--aug' in sys.argv)
     elif mode == 'augment':
         augment_ab(bs=int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     else:

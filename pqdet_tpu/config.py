@@ -197,6 +197,16 @@ DEFAULTS: Dict[str, Any] = {
         # keep decoded images in RAM (copies handed to the augment chain):
         # trades ~0.8 MB/image for the ~6 ms JPEG decode per sample
         'cache_images': False,
+        # device-resident dataset cache (single-host, augment.device +
+        # label_assign=device only): ALL train images are decoded +
+        # letterboxed at max(train.input_sizes) ONCE and uploaded to HBM
+        # in chunks; each step then ships only sample indices and the
+        # batch is gathered (and bilinear-resized for smaller multi-scale
+        # sizes) on device. Turns the per-step host->device transfer
+        # (~12.6 MB/batch — the wall-clock bound on thin links; the axon
+        # tunnel measures 15-100 MB/s) into a one-off. Budget ~0.75 MB
+        # HBM per 512^2 image (5.5 GB for 7k images).
+        'device_cache': False,
     },
     'model': {
         'cfg_path': 'mobilenetv2-fpn',   # path to a .cfg or a zoo model name

@@ -19,9 +19,12 @@ already-letterboxed sources:
 - flips: exact (lax.rev + the same box reflection).
 - mosaic: with input-size sources the host formula is pure placement on a
   virtual 2S canvas + center crop — no resampling — so the device version
-  (one stacked gather, branchless quadrant select) is EXACTLY the host
-  arithmetic given the same (xc, yc); proven by
-  tests/test_augment_device.py against data/augment.py Mosaic.
+  (4 disjoint dynamic_update_slice pastes onto a 3S canvas + a STATIC
+  center crop) is EXACTLY the host arithmetic given the same (xc, yc);
+  proven by tests/test_augment_device.py against data/augment.py Mosaic.
+  (The round-4 original — one stacked per-pixel gather — lowered to an
+  81 ms/step f32 gather at bs=16@512 and was the entire device-augment
+  step regression; pastes are pure DMA.)
 - mixup: same Beta(1.5, 1.5) blend and weight-column semantics.
 - color jitter: the host's uint8 brightness/contrast/saturation formulas
   (incl. cv2's fixed-point RGB2GRAY rounding) in shuffled order.
@@ -280,19 +283,26 @@ def mosaic_place(images4, boxes4, xc, yc):
     B, _, S = images4.shape[:3]
     G = boxes4.shape[2]
     half = S // 2
-    vx = jnp.arange(S) + half                     # virtual-frame coords
-    vy = jnp.arange(S) + half
 
-    def one(img4, bx4, xci, yci):
-        qx = (vx >= xci).astype(jnp.int32)        # (S,) 0=left 1=right
-        qy = (vy >= yci).astype(jnp.int32)
-        k = qy[:, None] * 2 + qx[None, :]         # (S, S) source index
-        sx = vx[None, :] - xci + (1 - qx)[None, :] * S   # (1, S) + select
-        sy = vy[:, None] - yci + (1 - qy)[:, None] * S
-        sx = jnp.clip(jnp.broadcast_to(sx, (S, S)), 0, S - 1)
-        sy = jnp.clip(jnp.broadcast_to(sy, (S, S)), 0, S - 1)
-        out = img4[k, sy, sx, :]                  # one stacked gather
+    # Image path: paste the 4 sources onto a (3S, 3S) canvas with
+    # dynamic_update_slice and take the STATIC center crop. The canvas
+    # covers virtual coords [-S/2, 2.5S) (offset +S), sources land at
+    # disjoint rects fully covering the crop window [S, 2S), and no
+    # source pixel the crop reads is ever out of range — algebraically
+    # identical to the old per-pixel quadrant gather, which XLA lowered
+    # to an 81 ms/step (bs=16@512) f32 gather with a 3-wide lane dim
+    # (the entire device-augment regression of round 4's first ladder).
+    canvas = jnp.zeros((B, 3 * S, 3 * S, images4.shape[-1]),
+                       images4.dtype)
+    for i in range(B):
+        for k in range(4):
+            oy = yc[i] + (0 if k >= 2 else -S) + half
+            ox = xc[i] + (0 if k % 2 == 1 else -S) + half
+            canvas = jax.lax.dynamic_update_slice(
+                canvas, images4[i, k][None], (i, oy, ox, 0))
+    out_images = canvas[:, S:2 * S, S:2 * S, :]
 
+    def one(bx4, xci, yci):
         # boxes: per-source clip to the pasted rect, then the source->
         # virtual offset, then the center-crop shift (host lines 392-404)
         xcf = xci.astype(jnp.float32)
@@ -332,9 +342,9 @@ def mosaic_place(images4, boxes4, xc, yc):
         aspect = jnp.maximum(w / (h + 1e-16), h / (w + 1e-16))
         keep = (area > 25.) & (area / (area0 + 1e-16) > 0.2) & (aspect < 10.)
         keep &= _valid(orig)
-        return out, jnp.where(keep[:, None], merged, 0.)
+        return jnp.where(keep[:, None], merged, 0.)
 
-    return jax.vmap(one)(images4, boxes4, xc, yc)
+    return out_images, jax.vmap(one)(boxes4, xc, yc)
 
 
 def mosaic(images, boxes, rng, apply_b):

@@ -170,6 +170,14 @@ class Trainer:
         if getattr(self.config.augment, 'device', False):
             from pqdet_tpu.ops.augment_device import augmenter_from_config
             self._augment_fn = augmenter_from_config(self.config)
+        self._device_cache = None
+        if getattr(self.config.dataset, 'device_cache', False):
+            if self._augment_fn is None or self._n_proc > 1 \
+                    or self._unroll > 1 or self._spatial > 1:
+                raise ValueError(
+                    'dataset.device_cache needs augment.device=on, a '
+                    'single host, and no unroll/spatial partitioning')
+            self._build_device_cache()
         if self._quant:
             # jit specialises on the observer/BN-freeze phase flags; the
             # step is re-jitted when the schedule flips them (the closure
@@ -439,6 +447,89 @@ class Trainer:
         return jax.tree.map(
             lambda x: jax.device_put(jnp.asarray(x), self._data_sh), batch)
 
+    # ------------------------------------------------- device data cache
+
+    def _build_device_cache(self):
+        """Decode + letterbox every train image ONCE at the largest
+        input size and park the whole corpus in HBM (dataset.device_cache).
+        Steps then upload ~100 B of indices instead of ~12.6 MB of pixels
+        — on thin host<->device links (the axon tunnel measures
+        15-100 MB/s) the per-step transfer IS the training wall clock.
+        Chunked donated dynamic_update_slice writes keep peak HBM at
+        cache size + one chunk."""
+        import time as _time
+        data = self.train_data
+        from pqdet_tpu.config import sizes_fix
+        smax = max(h for h, w in sizes_fix(self.config.train.input_sizes))
+        n = data._num_imgs
+        t0 = _time.time()
+        cache = jax.jit(lambda b, c, i: jax.lax.dynamic_update_slice(
+            b, c, (i, 0, 0, 0)), donate_argnums=0)
+        img_cache = jnp.zeros((n, smax, smax, 3), jnp.uint8)
+        gt_host = np.zeros((n, data._max_gt, 6), np.float32)
+        chunk = max(1, (64 << 20) // (smax * smax * 3))  # ~64 MB uploads
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            imgs = np.empty((hi - lo, smax, smax, 3), np.uint8)
+            for j in range(lo, hi):
+                img, gt = data.build_sample(j, (smax, smax))
+                imgs[j - lo] = img
+                gt_host[j] = gt
+            img_cache = cache(img_cache, jnp.asarray(imgs), lo)
+            if lo == 0 or hi == n or (lo // chunk) % 10 == 0:
+                print(f'device cache: {hi}/{n} images', flush=True)
+        jax.block_until_ready(img_cache)
+        self._device_cache = {
+            'img': img_cache,
+            'gt': jax.device_put(gt_host),
+            'smax': smax,
+            'gather': {},
+        }
+        print(f'device cache built: {n} images @ {smax}px '
+              f'({n * smax * smax * 3 / 1e9:.1f} GB HBM) '
+              f'in {_time.time() - t0:.0f}s', flush=True)
+
+    def _cache_gather(self, size: int):
+        """Jitted (img_cache, gt_cache, idx) -> batch at `size`: gather
+        the batch rows; smaller multi-scale sizes bilinear-resize the
+        letterboxed max-size image (aspect-preserving, so this matches
+        letterboxing the source at `size` up to resample rounding) and
+        scale the boxes."""
+        fns = self._device_cache['gather']
+        if size not in fns:
+            smax = self._device_cache['smax']
+
+            @jax.jit
+            def gather(img_cache, gt_cache, idx):
+                imgs = img_cache[idx]
+                gts = gt_cache[idx]
+                if size != smax:
+                    r = size / smax
+                    imgs = jax.image.resize(
+                        imgs.astype(jnp.float32),
+                        (idx.shape[0], size, size, 3), 'bilinear')
+                    imgs = jnp.clip(jnp.round(imgs), 0, 255
+                                    ).astype(jnp.uint8)
+                    gts = gts * jnp.asarray([r, r, r, r, 1., 1.],
+                                            jnp.float32)
+                return {'image': imgs, 'gt': gts}
+
+            fns[size] = gather
+        return fns[size]
+
+    def _cached_batches(self):
+        """(device batch, steps) pairs gathered from the HBM-resident
+        corpus — the dataset.device_cache replacement for
+        _device_batches (host upload = the index vector)."""
+        data = self.train_data
+        cache = self._device_cache
+        for k, rows in enumerate(data.batch_indices()):
+            s = int(data._sizes[k][0])  # (h, w) square sizes
+            idx = np.asarray([data._indexes[i] for i in rows], np.int32)
+            batch = self._cache_gather(s)(cache['img'], cache['gt'],
+                                          jnp.asarray(idx))
+            yield batch, 1
+
     # dispatches kept in flight before fencing: preserves host/device
     # overlap while bounding queued input batches in HBM (an unbounded
     # queue OOMs mid-epoch when the data pipeline outruns the device)
@@ -456,6 +547,9 @@ class Trainer:
         import queue
         import threading
 
+        if self._device_cache is not None:
+            yield from self._cached_batches()
+            return
         depth = max(int(getattr(self.config.system, 'device_prefetch', 2)), 0)
         if depth == 0:  # opt-out: synchronous upload in the consumer loop
             for batch, steps in self._grouped_batches():

@@ -600,3 +600,50 @@ def test_process_loader_device_labels(voc_cfg):
         assert n == len(data._sizes)
     finally:
         loader.close()
+
+
+def test_device_cache_batches_match_loader(voc_cfg):
+    """dataset.device_cache: gathered-from-HBM batches must equal the
+    loader path bit-for-bit at the cached (max) size, and produce
+    correctly-shaped scaled batches at smaller multi-scale sizes."""
+    import jax
+    from pqdet_tpu.train.trainer import Trainer
+
+    cfg = voc_cfg.clone().defrost()
+    cfg.dataset.device_cache = True
+    cfg.augment.device = True
+    cfg.train.max_epochs = 1
+    cfg.freeze()
+    tr = Trainer(cfg)
+    tr.init_all()
+    assert tr._device_cache is not None
+    data = tr.train_data
+
+    seen_sizes = set()
+    for k, (batch, steps) in enumerate(tr._device_batches()):
+        s = int(data._sizes[k][0])
+        seen_sizes.add(s)
+        assert batch['image'].shape[1:3] == (s, s)
+        assert batch['gt'].shape[1:] == (16, 6)
+        if s == tr._device_cache['smax']:
+            # bit-parity with the loader's own sample builder
+            rows = data.batch_indices()[k]
+            imgs, gts = [], []
+            for i in rows:
+                img, gt = data.build_sample(data._indexes[i], (s, s))
+                imgs.append(img), gts.append(gt)
+            np.testing.assert_array_equal(np.asarray(batch['image']),
+                                          np.stack(imgs))
+            np.testing.assert_array_equal(np.asarray(batch['gt']),
+                                          np.stack(gts))
+        else:
+            # boxes scale with the resize ratio
+            r = s / tr._device_cache['smax']
+            rows = data.batch_indices()[k]
+            _, gt0 = data.build_sample(data._indexes[rows[0]],
+                                      (tr._device_cache['smax'],) * 2)
+            np.testing.assert_allclose(np.asarray(batch['gt'][0, :, :4]),
+                                       gt0[:, :4] * r, atol=1e-4)
+        if k >= 3:
+            break
+    assert len(seen_sizes) >= 1
