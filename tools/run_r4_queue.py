@@ -75,6 +75,12 @@ def main():
     except (FileNotFoundError, KeyError) as e:
         print(f'diffeval skipped: no fp ckpt in ladder report ({e})',
               flush=True)
+
+    # fused inverted-residual kernel v2 A/B (VERDICT r3 #1 stretch)
+    run([py, 'tools/microbench_fused.py', 'full', '16'],
+        '/tmp/fused_full16_v2.log')
+    run([py, 'tools/microbench_fused.py', 'blocks', '16'],
+        '/tmp/fused_blocks16_v2.log')
     print('queue done', flush=True)
 
 
