@@ -449,6 +449,10 @@ class Trainer:
 
     # ------------------------------------------------- device data cache
 
+    # process-wide memo: drivers that build one Trainer per short run
+    # (hyper-evolution, NAS) must not re-upload the corpus every round
+    _CACHE_MEMO = {}
+
     def _build_device_cache(self):
         """Decode + letterbox every train image ONCE at the largest
         input size and park the whole corpus in HBM (dataset.device_cache).
@@ -461,6 +465,14 @@ class Trainer:
         data = self.train_data
         from pqdet_tpu.config import sizes_fix
         smax = max(h for h, w in sizes_fix(self.config.train.input_sizes))
+        memo_key = (self.config.dataset.train_txt_file,
+                    self.config.dataset.name, smax, data._max_gt)
+        hit = Trainer._CACHE_MEMO.get(memo_key)
+        if hit is not None:
+            self._device_cache = dict(hit, gather={})
+            print(f'device cache: reusing HBM-resident corpus '
+                  f'({hit["img"].shape[0]} images @ {smax}px)', flush=True)
+            return
         n = data._num_imgs
         t0 = _time.time()
         cache = jax.jit(lambda b, c, i: jax.lax.dynamic_update_slice(
@@ -485,6 +497,9 @@ class Trainer:
             'smax': smax,
             'gather': {},
         }
+        Trainer._CACHE_MEMO.clear()  # at most one resident corpus
+        Trainer._CACHE_MEMO[memo_key] = {
+            k: self._device_cache[k] for k in ('img', 'gt', 'smax')}
         print(f'device cache built: {n} images @ {smax}px '
               f'({n * smax * smax * 3 / 1e9:.1f} GB HBM) '
               f'in {_time.time() - t0:.0f}s', flush=True)
