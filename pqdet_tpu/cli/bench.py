@@ -123,7 +123,13 @@ def _make_predict(args, cfg):
     network, params, state, _ = build_detector(cfg_text,
                                                weight_path=args.weight or None)
     fused = inference_params(network, params, state)
-    run = build_predict_pipeline(network, cfg)
+    fused_table = None
+    if getattr(cfg.eval, 'fused_ir', False):
+        from pqdet_tpu.ops.pallas_fused import prepare_fused_ir
+        fused_table = prepare_fused_ir(network, fused)
+        print(f'fused_ir: {len(fused_table)} inverted-residual chains '
+              f'through the Pallas kernel')
+    run = build_predict_pipeline(network, cfg, fused_ir=fused_table)
     return make_batch_predict(run, fused)
 
 

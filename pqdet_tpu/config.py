@@ -293,6 +293,9 @@ DEFAULTS: Dict[str, Any] = {
         # logs) if more pairs clear score_threshold than the pool holds
         'pool_factor': 4,
         'nms_method': 'nms',       # 'nms' | 'soft-nms' (tools.py:507-538)
+        # serve the inverted-residual chains through the fused Pallas
+        # kernel (ops/pallas_fused.py) instead of the XLA layer walk
+        'fused_ir': False,
         'nms_sigma': 0.3,          # gaussian decay for soft-nms
         # False (default): eval batches ship uint8 and normalize ON DEVICE
         # (4x fewer upload bytes). True: reference-style host-side float

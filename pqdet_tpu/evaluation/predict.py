@@ -21,11 +21,14 @@ from pqdet_tpu.ops.preprocess import device_normalize
 
 
 def build_predict_pipeline(network, cfg, compute_dtype=None,
-                           apply_fn: Optional[Callable] = None):
+                           apply_fn: Optional[Callable] = None,
+                           fused_ir: Optional[dict] = None):
     """Returns jitted ``run(params, images, shapes) -> NMSResult``.
 
     ``apply_fn(params, images) -> (B, N, 5+C)`` overrides the forward (used
     for the int8 executor); default is the fused fp network apply.
+    ``fused_ir`` (ops.pallas_fused.prepare_fused_ir table) swaps the
+    inverted-residual chains for the VMEM-resident Pallas kernel.
     """
     affine = RECOVER_AFFINE_REGISTER[cfg.dataset.name.lower()]
     input_size = np.array(size_fix(cfg.eval.input_size), np.float32)
@@ -39,7 +42,8 @@ def build_predict_pipeline(network, cfg, compute_dtype=None,
     if apply_fn is None:
         def apply_fn(params, images):
             preds, _ = network.apply(params, {}, images,
-                                     compute_dtype=compute_dtype)
+                                     compute_dtype=compute_dtype,
+                                     fused_ir=fused_ir)
             return preds
 
     @jax.jit
