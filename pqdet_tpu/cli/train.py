@@ -5,6 +5,7 @@
 
 import argparse
 import faulthandler
+import io
 import signal
 
 from pqdet_tpu.config import load_config
@@ -13,8 +14,12 @@ from pqdet_tpu.train.trainer import Trainer
 
 def main():
     # `kill -USR1 <pid>` dumps all thread stacks to stderr — the one
-    # diagnostic channel for a wedged run on the axon tunnel
-    faulthandler.register(signal.SIGUSR1)
+    # diagnostic channel for a wedged run on the axon tunnel. (pytest
+    # captures stderr as a file-less buffer; skip silently there.)
+    try:
+        faulthandler.register(signal.SIGUSR1)
+    except (io.UnsupportedOperation, ValueError, AttributeError):
+        pass
     parser = argparse.ArgumentParser(description='trainer configuration')
     parser.add_argument('--yaml', default=None)
     args, rest = parser.parse_known_args()
