@@ -50,7 +50,7 @@ def main():
     py = sys.executable
 
     run([py, '-m', 'pqdet_tpu.cli.evolute', '--yaml',
-         'yamls/evolute_clutter.yaml', '--rounds', '16', '--seed', '0',
+         'yamls/evolute_clutter.yaml', '--rounds', '12', '--seed', '0',
          '--log', 'reports/evolution_clutter.json'],
         '/tmp/evolute_r4.log')
 
