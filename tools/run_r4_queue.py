@@ -50,7 +50,7 @@ def main():
     py = sys.executable
 
     run([py, '-m', 'pqdet_tpu.cli.evolute', '--yaml',
-         'yamls/evolute_clutter.yaml', '--rounds', '12', '--seed', '0',
+         'yamls/evolute_clutter.yaml', '--rounds', '16', '--seed', '0',
          '--log', 'reports/evolution_clutter.json'],
         '/tmp/evolute_r4.log')
 
@@ -81,6 +81,17 @@ def main():
         '/tmp/fused_full16_v2.log')
     run([py, 'tools/microbench_fused.py', 'blocks', '16'],
         '/tmp/fused_blocks16_v2.log')
+
+    # VERDICT r3 #5 tail: the HOST-augment arm of the saturated-scale
+    # zoom-crop A/B — same 40-epoch recipe, augment.device off (and
+    # therefore per-step uploads; upload-bound, so it runs as far as the
+    # round's remaining wall allows and is compared at matched epochs
+    # against the devaug fp per_eval curve). 150 min hard cap.
+    run(['timeout', '9000', py, '-m', 'pqdet_tpu.cli.train', '--yaml',
+         'yamls/clutter.yaml', 'experiment_name', 'clutter_hostaug',
+         'augment.device', 'off', 'dataset.device_cache', 'off',
+         'eval.after', '5', 'eval.interval', '2'],
+        '/tmp/hostaug_arm.log')
     print('queue done', flush=True)
 
 
