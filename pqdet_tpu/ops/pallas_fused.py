@@ -322,16 +322,20 @@ def find_fused_triples(graph):
 
 
 def prepare_fused_ir(network, fused_params, min_e: int = 0,
-                     interpret: bool = False):
+                     max_stride: int = 0, interpret: bool = False):
     """Build the walk-time fusion table from BN-fused inference params:
     {start_node_index: {kernel kwargs + padded weights + skip set}}.
     ``min_e`` drops blocks whose expanded width is below the
-    profitability threshold (set from the hardware microbench)."""
+    profitability threshold; ``max_stride`` (>0) drops blocks deeper than
+    that cumulative stride — small-spatial blocks are per-program-
+    overhead-bound on hardware (both thresholds from the microbench)."""
     table = {}
     nodes = {n.index: n for n in network.graph.nodes}
     for a, b, c in find_fused_triples(network.graph):
         nb, nc = nodes[b], nodes[c]
         if nb.in_channels < min_e:
+            continue
+        if max_stride and nb.stride > max_stride:
             continue
         pb, pc = fused_params[str(b)], fused_params[str(c)]
         if 'bn' in pb or 'bn' in pc or 'b' not in pb or 'b' not in pc:
