@@ -198,6 +198,8 @@ def cmd_benchmark(args, cfg):
 
 
 def main():
+    from pqdet_tpu.utils.debug import register_stack_dump
+    register_stack_dump()
     parser = argparse.ArgumentParser(description='eval/benchmark CLI')
     parser.add_argument('mode', choices=['eval', 'benchmark', 'summary', 'time'])
     parser.add_argument('--yaml', default=None)

@@ -11,6 +11,8 @@ import argparse
 
 
 def main():
+    from pqdet_tpu.utils.debug import register_stack_dump
+    register_stack_dump()
     parser = argparse.ArgumentParser(description='channel pruning')
     parser.add_argument('--yaml', default=None)
     parser.add_argument('--skip-test', action='store_true')

@@ -8,6 +8,8 @@ import argparse
 
 
 def main():
+    from pqdet_tpu.utils.debug import register_stack_dump
+    register_stack_dump()
     parser = argparse.ArgumentParser(description='random NAS search')
     parser.add_argument('--yaml', default=None)
     parser.add_argument('--rounds', type=int, default=50)

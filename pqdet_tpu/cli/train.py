@@ -4,22 +4,14 @@
 """
 
 import argparse
-import faulthandler
-import io
-import signal
 
 from pqdet_tpu.config import load_config
 from pqdet_tpu.train.trainer import Trainer
+from pqdet_tpu.utils.debug import register_stack_dump
 
 
 def main():
-    # `kill -USR1 <pid>` dumps all thread stacks to stderr — the one
-    # diagnostic channel for a wedged run on the axon tunnel. (pytest
-    # captures stderr as a file-less buffer; skip silently there.)
-    try:
-        faulthandler.register(signal.SIGUSR1)
-    except (io.UnsupportedOperation, ValueError, AttributeError):
-        pass
+    register_stack_dump()
     parser = argparse.ArgumentParser(description='trainer configuration')
     parser.add_argument('--yaml', default=None)
     args, rest = parser.parse_known_args()
