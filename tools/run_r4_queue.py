@@ -49,11 +49,6 @@ def main():
         wait_pid(pid)
     py = sys.executable
 
-    run([py, '-m', 'pqdet_tpu.cli.evolute', '--yaml',
-         'yamls/evolute_clutter.yaml', '--rounds', '16', '--seed', '0',
-         '--log', 'reports/evolution_clutter.json'],
-        '/tmp/evolute_r4.log')
-
     run([py, '-m', 'pqdet_tpu.cli.search', '--yaml',
          'yamls/nas_clutter.yaml', '--rounds', '8', '--max-macs', '5e9',
          '--max-latency-ms', '8', '--seed', '0',
