@@ -93,7 +93,15 @@ class Evoluter:
                 continue
             finally:
                 # one Trainer per round: release loader workers/shm slabs
+                # AND the round's jit executables — every round builds new
+                # step closures whose compiled programs otherwise
+                # accumulate for the whole run (the round-4 16-round
+                # driver died silently after 13 rounds; unbounded
+                # cache growth is the suspect). The HBM corpus cache
+                # survives (module-level memo, not a jit cache).
                 trainer.close()
+                import jax
+                jax.clear_caches()
             print(fitness)
             self.records.append({'hyper': hypers, 'fitness': float(fitness)})
             with open(self.log_path, 'w') as fw:

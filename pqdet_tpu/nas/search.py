@@ -91,6 +91,11 @@ def search(config, rounds: int = 50, max_macs: float = 5e9,
         except Exception:
             traceback.print_exc()
             continue
+        finally:
+            # per-candidate jit executables otherwise accumulate across
+            # the sweep (see the evolute.py note)
+            import jax
+            jax.clear_caches()
         records.append({'cfg': cfg_text, 'ap': float(ap), **info})
         with open(log_path, 'w') as fw:
             json.dump({'data': records}, fw)
