@@ -41,6 +41,37 @@ BASELINE_MS = BASELINES_MS['mobilenetv2-fpn']
 CHAIN = 32          # forwards chained per measured call (see note above)
 
 
+def _measure_chain(chain_call, reps: int):
+    """reps timed dispatches of one CHAIN-long jit -> per-forward stats.
+
+    VERDICT r4 #6: the headline drifted 1.40-1.59 ms between identical
+    builds from tunnel/chip contention, so a single median is published
+    WITH its spread (p10-p90 over dispatches) and, when the profiler
+    cooperates, the trace-derived device-only time — the contention-free
+    anchor (reference test.py:155-193 reports plain wall; we report both).
+    """
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        chain_call()
+        times.append((time.perf_counter() - t0) * 1e3)
+    arr = np.asarray(times) / CHAIN
+    stats = {
+        'wall_p50': round(float(np.median(arr)), 3),
+        'wall_spread': [round(float(np.percentile(arr, 10)), 3),
+                        round(float(np.percentile(arr, 90)), 3)],
+    }
+    try:
+        sys.path.insert(0, '/root/repo')
+        from tools.tpuprof import profile_device_ops
+        _, total_us = profile_device_ops(chain_call)
+        stats['device_ms'] = round(total_us / 1e3 / CHAIN, 3)
+    except Exception as e:  # tracing is best-effort on the tunnel
+        print(f'bench: no trace-derived device time ({e})',
+              file=sys.stderr, flush=True)
+    return stats
+
+
 def bench_forward(model: str = 'mobilenetv2-fpn', batch_size: int = 1,
                   reps: int = 8):
     import jax
@@ -73,12 +104,7 @@ def bench_forward(model: str = 'mobilenetv2-fpn', batch_size: int = 1,
     # CONSERVATIVE: the reported per-forward time still contains 1/CHAIN of
     # the host<->device dispatch+fetch roundtrip (several ms through the
     # axon tunnel) — true device latency is lower than reported
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(chain(fused, x))
-        times.append((time.perf_counter() - t0) * 1e3)
-    return float(np.median(times)) / CHAIN
+    return _measure_chain(lambda: float(chain(fused, x)), reps)
 
 
 def bench_quant(model: str = 'mobilenetv2-fpn', mode: str = 'pallas',
@@ -126,12 +152,7 @@ def bench_quant(model: str = 'mobilenetv2-fpn', mode: str = 'pallas',
 
     x = jnp.asarray(rng.rand(batch_size, 512, 512, 3), jnp.float32)
     float(chain(qparams, x))  # compile + warmup
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(chain(qparams, x))
-        times.append((time.perf_counter() - t0) * 1e3)
-    return float(np.median(times)) / CHAIN
+    return _measure_chain(lambda: float(chain(qparams, x)), reps)
 
 
 def wait_backend(max_s: float = 2700, probe_every: float = 180):
@@ -174,13 +195,14 @@ def main():
             mode, dw = 'pallas', 'xla'
         elif mode == 'pdw':     # force the Pallas dw kernel everywhere
             mode, dw = 'pallas', 'pallas'
-        ms = bench_quant(model, mode=mode, batch_size=bs, dw_impl=dw)
+        stats = bench_quant(model, mode=mode, batch_size=bs, dw_impl=dw)
         tag = {'xla': f'{mode}_xdw', 'pallas': f'{mode}_pdw'}.get(dw, mode)
         metric = f'{model.replace("-", "_")}_int8_{tag}_forward_ms_bs{bs}_512'
     else:
-        ms = bench_forward(model, batch_size=bs)
+        stats = bench_forward(model, batch_size=bs)
         metric = f'{model.replace("-", "_")}_forward_ms_bs{bs}_512'
-    out = {'metric': metric, 'value': round(ms, 3), 'unit': 'ms'}
+    ms = stats['wall_p50']
+    out = {'metric': metric, 'value': ms, 'unit': 'ms', **stats}
     if model in BASELINES_MS and bs == 1:
         out['vs_baseline'] = round(BASELINES_MS[model] / ms, 3)
     print(json.dumps(out))

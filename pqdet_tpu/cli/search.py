@@ -18,6 +18,10 @@ def main():
     parser.add_argument('--log', default='nas_search.json')
     parser.add_argument('--seed', type=int, default=None,
                         help='candidate-sampler seed (reproducible search)')
+    parser.add_argument('--exp-cap', type=float, default=40.0,
+                        help='decode exp clamp written into candidate '
+                             'yolo sections (0 = bare exp, reference '
+                             'semantics; see model/decode.py)')
     args, rest = parser.parse_known_args()
 
     from pqdet_tpu.config import load_config
@@ -25,7 +29,7 @@ def main():
     cfg = load_config(args.yaml, rest)
     search(cfg, rounds=args.rounds, max_macs=args.max_macs,
            log_path=args.log, max_latency_ms=args.max_latency_ms,
-           seed=args.seed)
+           seed=args.seed, exp_cap=args.exp_cap)
 
 
 if __name__ == '__main__':

@@ -230,6 +230,10 @@ DEFAULTS: Dict[str, Any] = {
         # warmup steps; the reference's answer is catch-and-skip
         # (nas/search.py:70-83), this knob is the alternative
         'grad_clip': 0.0,
+        # per-step max|activation| at each yolo head input ('head_max'
+        # metric): names which head overflowed first when a NaN fires
+        # (three tiny max-reduces; see train/step.py probe_heads)
+        'head_probe': True,
         'mile_stones': [30, 45],
         'gamma': 0.1,
         'warmup_epochs': 1.0,

@@ -79,6 +79,11 @@ LAYER_DEFAULTS = {
         'ignore_thresh': 0.5,
         'bbox_loss': 'giou',
         'l1_loss_gain': 0.1,
+        # NOTE: 'exp_cap' (divergence-survival clamp on the decode exp,
+        # model/decode.py) is an OPTIONAL yolo attr with no default here:
+        # the defaults table stays key-identical to the reference parser
+        # (model/parser.py:43-104, test_cfg_grammar_parity). NAS-emitted
+        # cfgs write it explicitly.
     },
     'dropout': {
         'name': 'dropout',

@@ -27,14 +27,26 @@ def center_grid(height: int, width: int, dtype=jnp.float32):
     return jnp.stack([xs, ys], axis=-1)[:, :, None, :]
 
 
-def decode(conv: jnp.ndarray, num_classes: int, stride: int) -> jnp.ndarray:
-    """(B, H, W, A*(5+C)) raw head -> (B, H, W, A, 5+C) decoded boxes."""
+def decode(conv: jnp.ndarray, num_classes: int, stride: int,
+           exp_cap: float = 0.0) -> jnp.ndarray:
+    """(B, H, W, A*(5+C)) raw head -> (B, H, W, A, 5+C) decoded boxes.
+
+    ``exp_cap`` > 0 clamps the raw box offsets at that value before the
+    exp — a candidate-survival knob for NAS short-trains (round-4 sweep:
+    deep sampled heads push raw offsets past exp's f32 overflow near
+    step ~88 and the forward goes inf before grad-clip can act; a cap of
+    e.g. 40 keeps boxes finite so the loss gradient pulls them back).
+    0 (the default everywhere but NAS-emitted cfgs) is exact reference
+    parity (model/parser.py:206-235 uses a bare exp)."""
     b, h, w, ch = conv.shape
     a = ch // (5 + num_classes)
     conv = conv.reshape(b, h, w, a, 5 + num_classes).astype(jnp.float32)
     grid = center_grid(h, w)
     raw_d1 = conv[..., 0:2]
     raw_d2 = conv[..., 2:4]
+    if exp_cap:
+        raw_d1 = jnp.minimum(raw_d1, exp_cap)
+        raw_d2 = jnp.minimum(raw_d2, exp_cap)
     xymin = (grid - jnp.exp(raw_d1)) * stride
     xymax = (grid + jnp.exp(raw_d2)) * stride
     conf = jax.nn.sigmoid(conv[..., 4:5])

@@ -68,7 +68,8 @@ class Network:
               targets: Optional[tuple] = None, train: bool = False,
               rng=None, compute_dtype=None, quant_ctx=None,
               pallas_decode: bool = False, remat_segments: int = 0,
-              dense_groups: bool = True, fused_ir: Optional[Dict] = None):
+              dense_groups: bool = True, fused_ir: Optional[Dict] = None,
+              tap=None):
         """Run the graph. Returns (outputs, new_state).
 
         ``outputs`` is the list of yolo-head results (decoded preds in
@@ -125,7 +126,7 @@ class Network:
             self.graph.nodes, params, state, x, {}, rng, targets=targets,
             train=train, compute_dtype=compute_dtype, quant_ctx=quant_ctx,
             pallas_decode=pallas_decode, dense_groups=dense_groups,
-            fused_ir=fused_ir)
+            fused_ir=fused_ir, tap=tap)
         new_state.update(updates)
         if not outputs:
             return x, new_state
@@ -134,7 +135,8 @@ class Network:
     def _walk(self, nodes, params: Dict, state: Dict, x, cache: Dict,
               rng, targets=None, train: bool = False, compute_dtype=None,
               quant_ctx=None, pallas_decode: bool = False,
-              dense_groups: bool = True, fused_ir: Optional[Dict] = None):
+              dense_groups: bool = True, fused_ir: Optional[Dict] = None,
+              tap=None):
         """Run a contiguous span of graph nodes. Returns
         (x, live cache, state updates, head outputs, rng) — a pure pytree
         signature so spans can be wrapped in jax.checkpoint.
@@ -209,13 +211,15 @@ class Network:
                 x = L.upsample_nearest(x, node.attrs['stride'])
             elif kind == 'yolo':
                 a = node.attrs
-                if pallas_decode and targets is None:
+                if pallas_decode and targets is None \
+                        and not a.get('exp_cap', 0.0):
                     # fused Pallas decode kernel (inference only: the
-                    # kernel has no autodiff rule)
+                    # kernel has no autodiff rule; bare-exp graphs only)
                     from pqdet_tpu.ops.pallas_decode import decode_pallas
                     pred = decode_pallas(x, a['classes'], a['stride'])
                 else:
-                    pred = decode(x, a['classes'], a['stride'])
+                    pred = decode(x, a['classes'], a['stride'],
+                                  exp_cap=a.get('exp_cap', 0.0))
                 if targets is None:
                     x = pred
                 else:
@@ -252,6 +256,11 @@ class Network:
                     and x.dtype != compute_dtype:
                 x = x.astype(compute_dtype)
 
+            # trace-time observation hook: tap(node_index, activation) —
+            # used by the train step's divergence probe (head magnitudes)
+            if tap is not None and kind != 'yolo':
+                tap(i, x)
+
             if i in last_use:
                 cache[i] = x
             # free activations whose consumers have all run
@@ -271,12 +280,12 @@ class DetectionNetwork(Network):
 
     def apply(self, params, state, x, targets=None, train=False, rng=None,
               compute_dtype=None, quant_ctx=None, pallas_decode=False,
-              remat_segments=0, dense_groups=True, fused_ir=None):
+              remat_segments=0, dense_groups=True, fused_ir=None, tap=None):
         outputs, new_state = super().apply(
             params, state, x, targets=targets, train=train, rng=rng,
             compute_dtype=compute_dtype, quant_ctx=quant_ctx,
             pallas_decode=pallas_decode, remat_segments=remat_segments,
-            dense_groups=dense_groups, fused_ir=fused_ir)
+            dense_groups=dense_groups, fused_ir=fused_ir, tap=tap)
         if targets is None:
             flat = [o.reshape(o.shape[0], -1, o.shape[-1]) for o in outputs]
             return jnp.concatenate(flat, axis=1), new_state

@@ -27,7 +27,17 @@ Records = Sequence[Dict]
 
 
 def load_records(path: str) -> List[Dict]:
-    """Read a nas/search.py JSON log (reference get_nas_records)."""
+    """Read a nas/search.py JSON log (reference get_nas_records).
+    Diverged candidates (status='diverged', ap=None — logged since round
+    5 so the sample is unbiased on disk) carry no AP and are excluded
+    from EDF/AUC math; count them separately via load_all_records."""
+    with open(path) as fr:
+        data = json.load(fr)['data']
+    return [r for r in data if r.get('ap') is not None]
+
+
+def load_all_records(path: str) -> List[Dict]:
+    """Every sampled candidate, including divergences."""
     with open(path) as fr:
         return json.load(fr)['data']
 

@@ -16,8 +16,14 @@ from pqdet_tpu.zoo.regnet import _backbone, _block
 
 
 def build_detnet_cfg(backbone: Dict, head: Dict, num_classes: int = 20,
-                     gt_per_grid: int = 3, bbox_loss: str = 'giou') -> str:
-    """backbone: regnet_stages() output; head: sample_head() output."""
+                     gt_per_grid: int = 3, bbox_loss: str = 'giou',
+                     exp_cap: float = 40.0) -> str:
+    """backbone: regnet_stages() output; head: sample_head() output.
+
+    ``exp_cap`` (default on for NAS candidates, 0 disables): clamps the
+    decode exp argument so deep sampled heads cannot push the forward to
+    inf at the short-warmup lr — the round-4 sweep lost 4/8 candidates
+    to clip-resistant forward NaNs at step ~88 (model/decode.py)."""
     b = CfgBuilder()
     pred_ch = gt_per_grid * (5 + num_classes)
     spec = {'widths': tuple(backbone['widths']),
@@ -40,7 +46,8 @@ def build_detnet_cfg(backbone: Dict, head: Dict, num_classes: int = 20,
             if j == max(head['depth'] - 2, 0):
                 tap = tap_j
         b.conv(pred_ch, size=1, bn=False, activation='linear')
-        b.yolo(num_classes, bbox_loss=bbox_loss, l1_loss_gain=0.05)
+        b.yolo(num_classes, bbox_loss=bbox_loss, l1_loss_gain=0.05,
+               exp_cap=exp_cap)
     return b.text()
 
 
@@ -52,7 +59,7 @@ def _stage_width_at(backbone: Dict, stride: int) -> int:
 
 def detnet_600m(num_classes: int = 20,
                 rng: Optional[np.random.RandomState] = None,
-                return_head: bool = False):
+                return_head: bool = False, exp_cap: float = 40.0):
     """A random candidate around the RegNetX-600MF backbone (the
     reference's detnet_600m sampler, nas/detnet.py:151-157). With
     ``return_head`` also returns the sampled head dict so searches can
@@ -60,5 +67,6 @@ def detnet_600m(num_classes: int = 20,
     rng = rng or np.random.RandomState()
     backbone = regnet_stages(REGNET_CONFIGS['600M'])
     head = sample_head(rng)
-    cfg = build_detnet_cfg(backbone, head, num_classes=num_classes)
+    cfg = build_detnet_cfg(backbone, head, num_classes=num_classes,
+                           exp_cap=exp_cap)
     return (cfg, head) if return_head else cfg

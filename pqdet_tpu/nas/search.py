@@ -43,13 +43,14 @@ def measure_latency(cfg_text: str, input_size: int = 512, chain: int = 8,
 
 def generate_candidates(n: int, max_macs: float = 5e9, min_macs: float = 0.0,
                         max_latency_ms: Optional[float] = None,
-                        num_classes: int = 20, seed: Optional[int] = None):
+                        num_classes: int = 20, seed: Optional[int] = None,
+                        exp_cap: float = 40.0):
     """Yield up to n (cfg_text, info) candidates passing the filters."""
     rng = np.random.RandomState(seed)
     produced = 0
     while produced < n:
         cfg_text, head = detnet_600m(num_classes=num_classes, rng=rng,
-                                     return_head=True)
+                                     return_head=True, exp_cap=exp_cap)
         try:
             graph = Graph.from_cfg(cfg_text)
         except Exception:
@@ -67,11 +68,33 @@ def generate_candidates(n: int, max_macs: float = 5e9, min_macs: float = 0.0,
         yield cfg_text, info
 
 
+def _log_meta(rounds, max_macs, max_latency_ms, seed, exp_cap):
+    import subprocess
+    import time
+    try:
+        commit = subprocess.run(
+            ['git', 'rev-parse', '--short', 'HEAD'], cwd='/root/repo',
+            capture_output=True, text=True).stdout.strip()
+    except OSError:
+        commit = None
+    return {'driver': 'pqdet_tpu/nas/search.py', 'rounds': rounds,
+            'max_macs': max_macs, 'max_latency_ms': max_latency_ms,
+            'seed': seed, 'exp_cap': exp_cap, 'commit': commit,
+            'date': time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}
+
+
 def search(config, rounds: int = 50, max_macs: float = 5e9,
            log_path: str = 'nas_search.json',
            max_latency_ms: Optional[float] = None,
-           seed: Optional[int] = None):
-    """Short-train candidates and log {macs, params, ap} per round."""
+           seed: Optional[int] = None, exp_cap: float = 40.0):
+    """Short-train candidates and log EVERY sampled candidate —
+    {macs, params, ap, status} per round, with diverged candidates kept
+    as status='diverged' + their step of death instead of silently
+    dropped (round-4 sweep: the log held only the 4 survivors of 8, so
+    the EDF/AUC analysis ran on a biased sample; reference
+    nas/search.py:104-110 logs what it trains)."""
+    import re
+
     from pqdet_tpu.train.trainer import Trainer
 
     records = []
@@ -83,21 +106,28 @@ def search(config, rounds: int = 50, max_macs: float = 5e9,
             generate_candidates(rounds, max_macs=max_macs,
                                 max_latency_ms=max_latency_ms,
                                 num_classes=len(config.dataset.classes),
-                                seed=seed)):
+                                seed=seed, exp_cap=exp_cap)):
         print(f'=== candidate {i}: {info}')
+        rec = {'cfg': cfg_text, **info}
         try:
             trainer = Trainer(config)
             ap = trainer.run_nas(cfg_text)
-        except Exception:
+            rec.update(status='completed', ap=float(ap))
+        except Exception as e:
             traceback.print_exc()
-            continue
+            m = re.search(r'near step (\d+)', str(e))
+            rec.update(status='diverged', ap=None,
+                       step_of_death=int(m.group(1)) if m else None,
+                       error=str(e)[:800])
         finally:
             # per-candidate jit executables otherwise accumulate across
             # the sweep (see the evolute.py note)
             import jax
             jax.clear_caches()
-        records.append({'cfg': cfg_text, 'ap': float(ap), **info})
+        records.append(rec)
         with open(log_path, 'w') as fw:
-            json.dump({'data': records}, fw)
-        print(f'candidate {i}: AP={ap:.4f}')
+            json.dump({'meta': _log_meta(rounds, max_macs, max_latency_ms,
+                                         seed, exp_cap),
+                       'data': records}, fw)
+        print(f'candidate {i}: {rec["status"]} AP={rec["ap"]}')
     return records

@@ -286,17 +286,23 @@ def find_fused_triples(graph):
     def conv(n):
         return n.kind == 'convolutional'
 
+    from pqdet_tpu.model.graph import solve_padding
+
     def is_pw(n):
         a = n.attrs
         return conv(n) and a['size'] == 1 and a['stride'] == 1 \
-            and a['groups'] == 1 and a['activation'] in _FUSABLE_ACTS
+            and a['groups'] == 1 and a['activation'] in _FUSABLE_ACTS \
+            and solve_padding(a['size'], a['padding'], a['pad']) == 0
 
     def is_dw_s1(n):
+        # the kernel hard-codes SAME padding (pad=1): a valid-padding
+        # 3x3 dw (plausible from NAS-mutated cfgs) must not be fused
         a = n.attrs
         return conv(n) and a['size'] == 3 and a['stride'] == 1 \
             and a['groups'] == n.in_channels \
             and n.in_channels == n.out_channels \
-            and a['activation'] in _FUSABLE_ACTS
+            and a['activation'] in _FUSABLE_ACTS \
+            and solve_padding(a['size'], a['padding'], a['pad']) == 1
 
     used = set()
     for i in range(len(nodes) - 2):

@@ -97,7 +97,7 @@ def make_train_step(network: DetectionNetwork, optimizer,
                     sparse_ids: Optional[Set[str]] = None,
                     compute_dtype=None, remat: int = 0,
                     dense_groups: bool = True, label_fn=None,
-                    augment_fn=None):
+                    augment_fn=None, probe_heads: bool = False):
     """Build the pure (params, state, opt_state, batch, rng) -> ... step.
 
     batch: dict with 'image' (B,H,W,3) and either 'targets' = 6-tuple of
@@ -116,16 +116,31 @@ def make_train_step(network: DetectionNetwork, optimizer,
     one jax.checkpoint; measured on v5e this REDUCES the max batch
     (the backward re-materialises every activation at once) — kept only
     for comparison.
+    ``probe_heads`` (train.head_probe): adds a 'head_max' metric — the
+    max |activation| of each yolo head's INPUT conv, per scale. Three
+    tiny max-reduces per step; on a NaN the trainer prints the interval's
+    head_max history so a divergence names WHICH head overflowed first
+    (round-4 NAS sweep: clip-resistant forward NaNs correlated with deep
+    sampled heads, diagnosed only by correlation; decode's exp overflows
+    past raw ~88.7 — see model/decode.py exp_cap).
     """
     remat_n = int(remat)
+    head_in = tuple(n.index - 1 for n in network.graph.yolo_nodes) \
+        if probe_heads else ()
 
     def fwd(params, state, image, targets, rng):
+        stats = {}
+        tap = None
+        if head_in:
+            def tap(i, t):
+                if i in head_in:
+                    stats[i] = jnp.max(jnp.abs(t.astype(jnp.float32)))
         losses, new_state = network.apply(
             params, state, image, targets=targets,
             train=True, rng=rng, compute_dtype=compute_dtype,
             remat_segments=remat_n if remat_n > 1 else 0,
-            dense_groups=dense_groups)
-        return losses['loss'][0], (losses, new_state)
+            dense_groups=dense_groups, tap=tap)
+        return losses['loss'][0], (losses, new_state, stats)
 
     if remat_n == 1:
         fwd = jax.checkpoint(fwd)
@@ -150,7 +165,8 @@ def make_train_step(network: DetectionNetwork, optimizer,
 
     def train_step(params, state, opt_state, batch, rng):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (losses, new_state)), grads = grad_fn(params, state, batch, rng)
+        (loss, (losses, new_state, stats)), grads = \
+            grad_fn(params, state, batch, rng)
         if sparse_ratio and sparse_ids:
             grads = add_sparse_l1(grads, params, sparse_ids, sparse_ratio)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -162,6 +178,8 @@ def make_train_step(network: DetectionNetwork, optimizer,
             'class_loss': losses['class_loss'][0],
             'loss_per_branch': jnp.stack([l[0] for l in losses['loss_per_branch']]),
         }
+        if head_in:
+            metrics['head_max'] = jnp.stack([stats[i] for i in head_in])
         return params, new_state, opt_state, metrics
 
     return train_step

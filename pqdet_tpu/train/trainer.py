@@ -189,7 +189,9 @@ class Trainer:
                 sparse_ratio=self._sparse_ratio if self._sparse else 0.0,
                 sparse_ids=sparse_ids, compute_dtype=self._compute_dtype,
                 remat=int(getattr(self.config.train, 'remat', 0)),
-                label_fn=self._label_fn, augment_fn=self._augment_fn)
+                label_fn=self._label_fn, augment_fn=self._augment_fn,
+                probe_heads=bool(getattr(self.config.train,
+                                         'head_probe', True)))
             self._make_jstep = lambda: _jit(step_fn)
         self.jstep = self._make_jstep()
 
@@ -332,8 +334,13 @@ class Trainer:
         print interval of the bad step."""
         if not pending:
             return
-        names = ('loss', 'giou_loss', 'conf_loss', 'class_loss',
-                 'loss_per_branch')
+        # derive the metric set from the step's own output (a step variant
+        # that adds/renames a key must not be silently dropped or blow up
+        # only at flush time); the dashboard below still needs the core 5
+        names = tuple(pending[0].keys())
+        missing = {'loss', 'giou_loss', 'conf_loss', 'class_loss',
+                   'loss_per_branch'} - set(names)
+        assert not missing, f'train step metrics missing {missing}'
         stacked = {name: jnp.stack([jnp.ravel(m[name]) for m in pending])
                    for name in names}
         host_stacked = jax.device_get(stacked)
@@ -346,15 +353,29 @@ class Trainer:
             k = losses.size
             branch = np.asarray(m['loss_per_branch']).reshape(k, -1)
             scalars = {name: np.asarray(m[name]).reshape(-1)
-                       for name in ('giou_loss', 'conf_loss', 'class_loss')}
+                       for name in names
+                       if name not in ('loss', 'loss_per_branch')}
             for step_i in range(k):
                 loss_val = float(losses[step_i])
                 if not np.isfinite(loss_val):
-                    raise RuntimeError(
-                        f'NaN in loss near step {self.global_step}')
+                    msg = f'NaN in loss near step {self.global_step}'
+                    if 'head_max' in m:
+                        # per-scale head-input |act| history up to death:
+                        # names WHICH head overflowed first (raw offsets
+                        # past ~88.7 overflow decode's exp; the survival
+                        # knob is the yolo attr exp_cap, model/decode.py)
+                        hist = np.concatenate(
+                            [np.asarray(mm['head_max']).reshape(
+                                -1, np.asarray(mm['head_max']).shape[-1])
+                             for mm in host if 'head_max' in mm])
+                        tail = np.round(hist[-6:], 1).tolist()
+                        msg += (f'; head-input max|act| per scale, last '
+                                f'{len(tail)} flushed steps: {tail}')
+                    raise RuntimeError(msg)
                 self.losses['loss'].update(loss_val)
                 for name, vals in scalars.items():
-                    self.losses[name].update(float(vals[step_i]))
+                    self.losses.setdefault(name, AverageMeter()) \
+                        .update(float(vals[step_i]))
                 for i in range(branch.shape[1]):
                     self.losses['loss_per_branch'][i].update(
                         float(branch[step_i, i]))
@@ -514,7 +535,6 @@ class Trainer:
         if size not in fns:
             smax = self._device_cache['smax']
 
-            @jax.jit
             def gather(img_cache, gt_cache, idx):
                 imgs = img_cache[idx]
                 gts = gt_cache[idx]
@@ -529,7 +549,12 @@ class Trainer:
                                             jnp.float32)
                 return {'image': imgs, 'gt': gts}
 
-            fns[size] = gather
+            # gather output lands batch-sharded like _put_batch uploads
+            # would (jstep declares data-axis in_shardings; without this a
+            # single-host multi-device data mesh pays a silent device-0
+            # gather + reshard every step)
+            fns[size] = jax.jit(gather, out_shardings={
+                'image': self._data_sh, 'gt': self._data_sh})
         return fns[size]
 
     def _cached_batches(self):
@@ -572,25 +597,49 @@ class Trainer:
             return
         q = queue.Queue(maxsize=depth)
         err = []
+        stop = threading.Event()
 
         def work():
             try:
                 for batch, steps in self._grouped_batches():
-                    q.put((self._put_batch(batch), steps))
+                    item = (self._put_batch(batch), steps)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surfaced in the consumer below
                 err.append(e)
             finally:
-                q.put(None)
+                try:
+                    q.put_nowait(None)
+                except queue.Full:
+                    pass  # consumer is draining/abandoning; stop is set
 
         t = threading.Thread(target=work, daemon=True,
                              name='device-prefetch')
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            # if the consumer abandons mid-epoch (train-step exception,
+            # early break), unblock the worker's pending put and drop its
+            # HBM-pinned batches — otherwise each failed epoch wedges a
+            # thread holding `depth` device-resident batches
+            stop.set()
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    pass
+                t.join(timeout=0.2)
         if err:
             raise err[0]
 

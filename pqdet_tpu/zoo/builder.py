@@ -60,9 +60,13 @@ class CfgBuilder:
         return self._section('upsample', stride=stride)
 
     def yolo(self, classes: int, ignore_thresh: float = 0.5,
-             bbox_loss: str = 'giou', l1_loss_gain: float = 0.1) -> int:
-        return self._section('yolo', classes=classes, ignore_thresh=ignore_thresh,
-                             bbox_loss=bbox_loss, l1_loss_gain=l1_loss_gain)
+             bbox_loss: str = 'giou', l1_loss_gain: float = 0.1,
+             exp_cap: float = 0.0) -> int:
+        kv = dict(classes=classes, ignore_thresh=ignore_thresh,
+                  bbox_loss=bbox_loss, l1_loss_gain=l1_loss_gain)
+        if exp_cap:  # optional attr: zoo cfgs stay reference-identical
+            kv['exp_cap'] = exp_cap
+        return self._section('yolo', **kv)
 
     def fc(self, inp: int, out: int, activation: str = 'linear') -> int:
         return self._section('fc', input=inp, output=out, activation=activation)

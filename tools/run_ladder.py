@@ -272,10 +272,26 @@ def last_ap(log):
     return aps[-1] if aps else (None, None)
 
 
+def _meta():
+    """Self-describing provenance header (VERDICT r4 #8: reports/ holds
+    several generations of ladder files whose meaning only STATUS could
+    decode — every future report says what produced it)."""
+    try:
+        commit = subprocess.run(
+            ['git', 'rev-parse', '--short', 'HEAD'], cwd='/root/repo',
+            capture_output=True, text=True).stdout.strip()
+    except OSError:
+        commit = None
+    return {'driver': 'tools/run_ladder.py', 'yaml': YAML,
+            'extra': EXTRA, 'commit': commit,
+            'date': time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}
+
+
 def record(stage, **kv):
     data = {}
     if os.path.exists(REPORT):
         data = json.load(open(REPORT))
+    data.setdefault('meta', _meta())
     data[stage] = kv
     os.makedirs(os.path.dirname(REPORT), exist_ok=True)
     json.dump(data, open(REPORT, 'w'), indent=1)
