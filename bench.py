@@ -73,7 +73,7 @@ def _measure_chain(chain_call, reps: int):
 
 
 def bench_forward(model: str = 'mobilenetv2-fpn', batch_size: int = 1,
-                  reps: int = 8):
+                  reps: int = 8, s2d: int = 0):
     import jax
     import jax.numpy as jnp
     from pqdet_tpu.model.network import (DetectionNetwork,
@@ -89,7 +89,8 @@ def bench_forward(model: str = 'mobilenetv2-fpn', batch_size: int = 1,
     def chain(p, x):
         def step(carry, _):
             x, acc = carry
-            y = net.apply(p, {}, x, compute_dtype=jnp.bfloat16)[0]
+            y = net.apply(p, {}, x, compute_dtype=jnp.bfloat16,
+                          s2d_stem=s2d)[0]
             s = y.astype(jnp.float32).sum() * 1e-20
             # true dependency between iterations: next x needs this y
             return (x + s.astype(x.dtype), acc + s), None
@@ -198,6 +199,10 @@ def main():
         stats = bench_quant(model, mode=mode, batch_size=bs, dw_impl=dw)
         tag = {'xla': f'{mode}_xdw', 'pallas': f'{mode}_pdw'}.get(dw, mode)
         metric = f'{model.replace("-", "_")}_int8_{tag}_forward_ms_bs{bs}_512'
+    elif variant == 'fp-s2d':
+        # space-to-depth stem ingest (ops/space_to_depth.py) A/B
+        stats = bench_forward(model, batch_size=bs, s2d=2)
+        metric = f'{model.replace("-", "_")}_s2d_forward_ms_bs{bs}_512'
     else:
         stats = bench_forward(model, batch_size=bs)
         metric = f'{model.replace("-", "_")}_forward_ms_bs{bs}_512'

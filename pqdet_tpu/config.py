@@ -234,6 +234,9 @@ DEFAULTS: Dict[str, Any] = {
         # metric): names which head overflowed first when a NaN fires
         # (three tiny max-reduces; see train/step.py probe_heads)
         'head_probe': True,
+        # space-to-depth stem ingest in the train step (see eval.s2d_stem;
+        # trace-time weight fold, gradients flow to the original kernel)
+        's2d_stem': 0,
         'mile_stones': [30, 45],
         'gamma': 0.1,
         'warmup_epochs': 1.0,
@@ -300,6 +303,10 @@ DEFAULTS: Dict[str, Any] = {
         # serve the inverted-residual chains through the fused Pallas
         # kernel (ops/pallas_fused.py) instead of the XLA layer walk
         'fused_ir': False,
+        # space-to-depth stem ingest factor (0 = off, 2 = fold the
+        # stride-2 stem onto an (H/2, W/2, 12) tensor; function-
+        # preserving — ops/space_to_depth.py)
+        's2d_stem': 0,
         'nms_sigma': 0.3,          # gaussian decay for soft-nms
         # False (default): eval batches ship uint8 and normalize ON DEVICE
         # (4x fewer upload bytes). True: reference-style host-side float

@@ -40,10 +40,12 @@ def build_predict_pipeline(network, cfg, compute_dtype=None,
     sigma = getattr(cfg.eval, 'nms_sigma', 0.3)
 
     if apply_fn is None:
+        s2d = int(getattr(cfg.eval, 's2d_stem', 0))
+
         def apply_fn(params, images):
             preds, _ = network.apply(params, {}, images,
                                      compute_dtype=compute_dtype,
-                                     fused_ir=fused_ir)
+                                     fused_ir=fused_ir, s2d_stem=s2d)
             return preds
 
     @jax.jit

@@ -129,10 +129,12 @@ def conv2d(x, w, b=None, stride: int = 1, padding: int = 0, groups: int = 1,
     # f32 preferred_element_type here would make the conv's transpose rule
     # mix dtypes and fail under autodiff.
     preferred = jnp.float32 if compute_dtype is None else None
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
     out = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
-        padding=((padding, padding), (padding, padding)),
+        padding=padding,
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         feature_group_count=groups,
         preferred_element_type=preferred,

@@ -69,8 +69,16 @@ class Network:
               rng=None, compute_dtype=None, quant_ctx=None,
               pallas_decode: bool = False, remat_segments: int = 0,
               dense_groups: bool = True, fused_ir: Optional[Dict] = None,
-              tap=None):
+              tap=None, s2d_stem: int = 0):
         """Run the graph. Returns (outputs, new_state).
+
+        ``s2d_stem`` (r > 0): space-to-depth the input by r before the
+        stem conv and run the stem with trace-time-folded weights
+        (ops/space_to_depth.py) — function-preserving; kills the
+        narrow-channel lane-padded stem read the roofline identified.
+        Requires the graph's first node to be a foldable stem
+        (3-channel, stride == r, ungrouped); incompatible with QAT
+        (the stem observer would see folded weights).
 
         ``outputs`` is the list of yolo-head results (decoded preds in
         inference, per-scale loss tuples when ``targets`` is given), or the
@@ -92,6 +100,16 @@ class Network:
         quant_ctx (its observer side-channel would capture inner-trace
         values).
         """
+        if s2d_stem:
+            from pqdet_tpu.ops.space_to_depth import stem_foldable
+            if quant_ctx is not None:
+                raise ValueError('s2d_stem is incompatible with QAT '
+                                 '(stem observers would see folded weights)')
+            if not stem_foldable(self.graph.nodes[0]) \
+                    or self.graph.nodes[0].attrs['stride'] != s2d_stem:
+                raise ValueError(
+                    f's2d_stem={s2d_stem} needs a 3-channel ungrouped '
+                    f'stride-{s2d_stem} stem conv as node 0')
         if remat_segments > 1:
             if quant_ctx is not None:
                 raise ValueError('remat_segments is incompatible with QAT '
@@ -110,7 +128,7 @@ class Network:
                     self._walk, nodes, params, state, targets=targets,
                     train=train, compute_dtype=compute_dtype,
                     quant_ctx=None, pallas_decode=pallas_decode,
-                    dense_groups=dense_groups)
+                    dense_groups=dense_groups, s2d_stem=s2d_stem)
                 x, cache, updates, outs, rng = jax.checkpoint(seg)(
                     x, cache, rng)
                 new_state.update(updates)
@@ -126,7 +144,7 @@ class Network:
             self.graph.nodes, params, state, x, {}, rng, targets=targets,
             train=train, compute_dtype=compute_dtype, quant_ctx=quant_ctx,
             pallas_decode=pallas_decode, dense_groups=dense_groups,
-            fused_ir=fused_ir, tap=tap)
+            fused_ir=fused_ir, tap=tap, s2d_stem=s2d_stem)
         new_state.update(updates)
         if not outputs:
             return x, new_state
@@ -136,7 +154,7 @@ class Network:
               rng, targets=None, train: bool = False, compute_dtype=None,
               quant_ctx=None, pallas_decode: bool = False,
               dense_groups: bool = True, fused_ir: Optional[Dict] = None,
-              tap=None):
+              tap=None, s2d_stem: int = 0):
         """Run a contiguous span of graph nodes. Returns
         (x, live cache, state updates, head outputs, rng) — a pure pytree
         signature so spans can be wrapped in jax.checkpoint.
@@ -180,8 +198,18 @@ class Network:
             if kind == 'convolutional':
                 a = node.attrs
                 padding = solve_padding(a['size'], a['padding'], a['pad'])
+                stride = a['stride']
                 w = p['w'] if quant_ctx is None else quant_ctx.fake_weights(str(i), p['w'])
-                x = L.conv2d(x, w, p.get('b'), stride=a['stride'],
+                if s2d_stem and i == 0:
+                    # space-to-depth ingest: fold the stem onto the
+                    # (H/r, W/r, 3 r^2) tensor (ops/space_to_depth.py)
+                    from pqdet_tpu.ops.space_to_depth import (
+                        fold_stem_weight_j, space_to_depth)
+                    x = space_to_depth(x, s2d_stem)
+                    w, ph, pw = fold_stem_weight_j(w, s2d_stem, stride,
+                                                   padding)
+                    stride, padding = 1, (ph, pw)
+                x = L.conv2d(x, w, p.get('b'), stride=stride,
                              padding=padding, groups=a['groups'],
                              compute_dtype=compute_dtype,
                              dense_groups=dense_groups)
@@ -280,12 +308,14 @@ class DetectionNetwork(Network):
 
     def apply(self, params, state, x, targets=None, train=False, rng=None,
               compute_dtype=None, quant_ctx=None, pallas_decode=False,
-              remat_segments=0, dense_groups=True, fused_ir=None, tap=None):
+              remat_segments=0, dense_groups=True, fused_ir=None, tap=None,
+              s2d_stem=0):
         outputs, new_state = super().apply(
             params, state, x, targets=targets, train=train, rng=rng,
             compute_dtype=compute_dtype, quant_ctx=quant_ctx,
             pallas_decode=pallas_decode, remat_segments=remat_segments,
-            dense_groups=dense_groups, fused_ir=fused_ir, tap=tap)
+            dense_groups=dense_groups, fused_ir=fused_ir, tap=tap,
+            s2d_stem=s2d_stem)
         if targets is None:
             flat = [o.reshape(o.shape[0], -1, o.shape[-1]) for o in outputs]
             return jnp.concatenate(flat, axis=1), new_state

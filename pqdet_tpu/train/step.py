@@ -97,7 +97,8 @@ def make_train_step(network: DetectionNetwork, optimizer,
                     sparse_ids: Optional[Set[str]] = None,
                     compute_dtype=None, remat: int = 0,
                     dense_groups: bool = True, label_fn=None,
-                    augment_fn=None, probe_heads: bool = False):
+                    augment_fn=None, probe_heads: bool = False,
+                    s2d_stem: int = 0):
     """Build the pure (params, state, opt_state, batch, rng) -> ... step.
 
     batch: dict with 'image' (B,H,W,3) and either 'targets' = 6-tuple of
@@ -139,7 +140,7 @@ def make_train_step(network: DetectionNetwork, optimizer,
             params, state, image, targets=targets,
             train=True, rng=rng, compute_dtype=compute_dtype,
             remat_segments=remat_n if remat_n > 1 else 0,
-            dense_groups=dense_groups, tap=tap)
+            dense_groups=dense_groups, tap=tap, s2d_stem=s2d_stem)
         return losses['loss'][0], (losses, new_state, stats)
 
     if remat_n == 1:

@@ -191,7 +191,8 @@ class Trainer:
                 remat=int(getattr(self.config.train, 'remat', 0)),
                 label_fn=self._label_fn, augment_fn=self._augment_fn,
                 probe_heads=bool(getattr(self.config.train,
-                                         'head_probe', True)))
+                                         'head_probe', True)),
+                s2d_stem=int(getattr(self.config.train, 's2d_stem', 0)))
             self._make_jstep = lambda: _jit(step_fn)
         self.jstep = self._make_jstep()
 
