@@ -144,6 +144,94 @@ def conv2d(x, w, b=None, stride: int = 1, padding: int = 0, groups: int = 1,
     return out
 
 
+def _chan_sum(z):
+    """(..., C) f32 -> (C,) sum over all leading axes, computed on a
+    128-lane-folded view. Narrow-C reduces otherwise run on operands
+    whose C pads to the 128-lane tile — the roofline's one clearly
+    inefficient train bucket (BN-backward multiply_reduce at 4.68x its
+    bytes bound, STATUS r4 #1: C=16/32 reduces move 4-8x their logical
+    bytes). Folding f=128/C rows into the lane dim is a FREE reshape
+    (identical row-major buffer) and leaves f partial sums per channel to
+    fold at the end."""
+    c = z.shape[-1]
+    n = z.size // c
+    fold = 1
+    if c < 128 and 128 % c == 0:
+        f = 128 // c
+        if n % f == 0:
+            fold = f
+    s = jnp.sum(z.reshape(n // fold, fold * c), axis=0)
+    return s.reshape(fold, c).sum(axis=0) if fold > 1 else s
+
+
+def _bn_moments(x):
+    """One-pass batch moments: E[x] and biased Var[x] from a single fused
+    read of the activation (the naive mean-then-centered-var needs TWO
+    sequential full-HBM passes because var depends on mean; at bs=32@512
+    the BN stat reduces were 12.3 ms of a 73.5 ms train step). The
+    E[d^2]-E[d]^2 form is cancellation-safe because d = x - s is centered
+    by a per-channel shift s estimated from a strided subsample (~1/64 of
+    the data, one cheap extra reduce): s tracks the batch mean within
+    O(std), so the subtracted terms stay small relative to f32 precision.
+    Exact in exact arithmetic for ANY s (mean and var are
+    shift-invariant), which also makes stop_gradient(s) exact in the vjp.
+    """
+    n = x.size // x.shape[-1]
+    s = jax.lax.stop_gradient(jnp.mean(
+        x[:, ::8, ::8, :].astype(jnp.float32), axis=(0, 1, 2)))
+    d = x.astype(jnp.float32) - s
+    dm = _chan_sum(d) / n
+    var = jnp.maximum(_chan_sum(jnp.square(d)) / n - jnp.square(dm), 0.0)
+    return s + dm, var
+
+
+def _bn_train_impl(x, gamma, beta):
+    mean, var = _bn_moments(x)
+    inv = jax.lax.rsqrt(var + BN_EPS) * gamma
+    y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype) \
+        + beta.astype(x.dtype)
+    return y, mean, var
+
+
+@jax.custom_vjp
+def _bn_train(x, gamma, beta):
+    """Train-mode BN with a hand-written backward: the three BN-backward
+    reduces (sum dy, sum dy*(x-mean)) run through _chan_sum's lane-folded
+    view and share one elementwise pass with the dx computation — the
+    autodiff backward's multiply_reduce fusions ran at 4.68x their bytes
+    bound on narrow-channel layers. PQDET_BN_BWD=autodiff restores the
+    autodiff path for A/B."""
+    return _bn_train_impl(x, gamma, beta)
+
+
+def _bn_train_fwd(x, gamma, beta):
+    y, mean, var = _bn_train_impl(x, gamma, beta)
+    return (y, mean, var), (x, gamma, mean, var)
+
+
+def _bn_train_bwd(res, cots):
+    x, gamma, mean, var = res
+    dy, dmean_c, dvar_c = cots  # mean/var feed only the (non-diff'd)
+    n = x.size // x.shape[-1]   # EMA state, so their cotangents are 0
+    x32 = x.astype(jnp.float32)
+    dy32 = dy.astype(jnp.float32)
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    xc = x32 - mean
+    sum_dy = _chan_sum(dy32)
+    sum_dy_xc = _chan_sum(dy32 * xc)
+    dgamma = sum_dy_xc * inv
+    dbeta = sum_dy
+    dx = (gamma * inv) * (dy32 - sum_dy / n
+                          - xc * (inv * inv) * (sum_dy_xc / n))
+    # exact cotangent terms for the mean/var outputs (zero in training)
+    dx = dx + dmean_c / n + dvar_c * (2.0 / n) * xc
+    return dx.astype(x.dtype), dgamma.astype(gamma.dtype), \
+        dbeta.astype(gamma.dtype)
+
+
+_bn_train.defvjp(_bn_train_fwd, _bn_train_bwd)
+
+
 def batch_norm(x, params, state, train: bool):
     """BatchNorm over (N, H, W); returns (y, new_state).
 
@@ -152,36 +240,27 @@ def batch_norm(x, params, state, train: bool):
     """
     gamma, beta = params['gamma'], params['beta']
     if train:
-        # One-pass moments: E[x] and Var[x] from a single fused read of the
-        # activation (the naive mean-then-centered-var needs TWO sequential
-        # full-HBM passes because var depends on mean; at bs=32@512 the BN
-        # stat reduces were 12.3 ms of a 73.5 ms train step). The
-        # E[d^2]-E[d]^2 form is cancellation-safe because d = x - s is
-        # centered by a per-channel shift s estimated from a strided
-        # subsample (~1/64 of the data, one cheap extra reduce): s tracks
-        # the batch mean within O(std), so the subtracted terms stay small
-        # relative to f32 precision. Exact in exact arithmetic for ANY s
-        # (mean and var are shift-invariant), which also makes
-        # stop_gradient(s) exact in the vjp.
-        s = jax.lax.stop_gradient(jnp.mean(
-            x[:, ::8, ::8, :].astype(jnp.float32), axis=(0, 1, 2)))
-        d = x.astype(jnp.float32) - s
-        dm = jnp.mean(d, axis=(0, 1, 2))
-        var = jnp.maximum(
-            jnp.mean(jnp.square(d), axis=(0, 1, 2)) - jnp.square(dm), 0.0)
-        mean = s + dm
+        import os
+        if os.environ.get('PQDET_BN_BWD') == 'autodiff':
+            mean, var = _bn_moments(x)
+            inv = jax.lax.rsqrt(var + BN_EPS) * gamma
+            y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype) \
+                + beta.astype(x.dtype)
+        else:
+            y, mean, var = _bn_train(x, gamma, beta)
         n = x.shape[0] * x.shape[1] * x.shape[2]
         unbiased = var * (n / max(n - 1, 1))
+        mean = jax.lax.stop_gradient(mean)
+        unbiased = jax.lax.stop_gradient(unbiased)
         new_state = {
             'mean': (1 - BN_MOMENTUM) * state['mean'] + BN_MOMENTUM * mean,
             'var': (1 - BN_MOMENTUM) * state['var'] + BN_MOMENTUM * unbiased,
         }
-    else:
-        mean, var = state['mean'], state['var']
-        new_state = state
+        return y, new_state
+    mean, var = state['mean'], state['var']
     inv = jax.lax.rsqrt(var + BN_EPS) * gamma
     y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype) + beta.astype(x.dtype)
-    return y, new_state
+    return y, state
 
 
 def fold_bn_into_conv(conv_params: dict, bn_params: dict, bn_state: dict) -> dict:

@@ -43,6 +43,22 @@ VARIANTS = {
     'dev_nomosmix': {'augment.mosaic_p': '0.0', 'augment.mixup_p': '0.0'},
     'dev_flipsonly': {'augment.crop_p': '0.0', 'augment.mosaic_p': '0.0',
                       'augment.mixup_p': '0.0'},
+    # --- phase 2 (launched on phase-1 results) ---
+    'dev_nomosaic': {'augment.mosaic_p': '0.0'},
+    'dev_nomixup': {'augment.mixup_p': '0.0'},
+    # the NULL device augment: chain runs but every stage is off
+    'dev_none': {'augment.hflip_p': '0.0', 'augment.crop_p': '0.0',
+                 'augment.mosaic_p': '0.0', 'augment.mixup_p': '0.0'},
+    # flips-only WITHOUT the HBM cache (host letterbox + upload per step)
+    'dev_nocache_flips': {'augment.crop_p': '0.0',
+                          'augment.mosaic_p': '0.0',
+                          'augment.mixup_p': '0.0',
+                          'dataset.device_cache': 'off'},
+    # host-chain anchors (slow: per-step uploads; run them last)
+    'host_full': {'augment.device': 'off', 'dataset.device_cache': 'off'},
+    'host_flips': {'augment.device': 'off', 'dataset.device_cache': 'off',
+                   'augment.crop_p': '0.0', 'augment.mosaic_p': '0.0',
+                   'augment.mixup_p': '0.0'},
 }
 
 
