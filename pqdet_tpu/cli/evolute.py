@@ -8,6 +8,9 @@ import argparse
 
 
 def main():
+    import faulthandler
+    faulthandler.enable()  # a segfault/abort prints thread stacks instead
+    # of the round-4 silent exit at round 13/16
     from pqdet_tpu.utils.debug import register_stack_dump
     register_stack_dump()
     parser = argparse.ArgumentParser(description='hyper evolution')

@@ -275,6 +275,11 @@ DEFAULTS: Dict[str, Any] = {
         # letterbox per sample — no mosaic x4 / mixup x2 host work. Needs
         # system.label_assign=device (the default). VOC/COCO getters only.
         'device': False,
+        # device-chain mosaic/mixup partners gathered as FRESH uniform
+        # corpus rows (host-parity independent draws) instead of in-batch
+        # permutations; needs dataset.device_cache. See the round-5
+        # epoch-5 A/B matrix (reports/augab5_epoch5.json).
+        'fresh_partners': False,
     },
     'weight': {
         'dir': 'weights',

@@ -103,7 +103,38 @@ class Evoluter:
                 import jax
                 jax.clear_caches()
             print(fitness)
-            self.records.append({'hyper': hypers, 'fitness': float(fitness)})
+            self.records.append({'hyper': hypers, 'fitness': float(fitness),
+                                 'telemetry': _telemetry()})
             with open(self.log_path, 'w') as fw:
-                json.dump({'data': self.records}, fw)
+                json.dump({'data': self.records,
+                           'exit': {'status': 'running',
+                                    'completed_rounds': len(self.records),
+                                    'target_rounds': self.rounds}}, fw)
+        with open(self.log_path, 'w') as fw:
+            json.dump({'data': self.records,
+                       'exit': {'status': 'completed',
+                                'completed_rounds': len(self.records),
+                                'target_rounds': self.rounds}}, fw)
         return self.records
+
+
+def _telemetry() -> Dict:
+    """Per-round host-memory telemetry (VERDICT r4 #3: the 16-round run
+    exited silently after round 13 with no traceback — an abrupt death
+    leaves the last record's telemetry as the flight recorder; suspects
+    were host RSS growth from per-round jit executables)."""
+    import gc
+
+    import jax
+    rss_kb = 0
+    try:
+        with open('/proc/self/status') as f:
+            for line in f:
+                if line.startswith('VmRSS:'):
+                    rss_kb = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+    return {'rss_gb': round(rss_kb / 1e6, 2),
+            'live_arrays': len(jax.live_arrays()),
+            'gc_objects': len(gc.get_objects())}

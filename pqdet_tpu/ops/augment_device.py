@@ -399,8 +399,33 @@ class AugmentParams(NamedTuple):
     mixup_beta: float = 1.5
 
 
+def _base_chain(img, boxes, keys, params: AugmentParams):
+    """flips -> zoom-crop -> jitter (the host _standard_train_chain) on a
+    batch of any size — used for the main batch AND, in fresh-partner
+    mode, the partner batch (host partners run the same base chain with
+    independent randomness, samples.py sampler -> base_train)."""
+    B = img.shape[0]
+
+    def bern(key, p):
+        return jax.random.uniform(key, (B,)) < p
+
+    if params.hflip_p > 0:
+        img, boxes = hflip(img, boxes, bern(keys[0], params.hflip_p))
+    if params.vflip_p > 0:
+        img, boxes = vflip(img, boxes, bern(keys[1], params.vflip_p))
+    if params.crop_p > 0:
+        img, boxes = zoom_crop(img, boxes, keys[2],
+                               bern(keys[3], params.crop_p))
+        img = jnp.round(img)  # back to the uint8 value domain
+    if params.color_p > 0:
+        img = color_jitter(img, keys[4], bern(keys[5], params.color_p))
+    return img, boxes
+
+
 def device_augment(images: jnp.ndarray, gt: jnp.ndarray, rng,
-                   params: AugmentParams):
+                   params: AugmentParams,
+                   partner_images: jnp.ndarray = None,
+                   partner_gt: jnp.ndarray = None):
     """uint8 letterboxed batch + padded GT -> augmented uint8 batch +
     grown padded GT (see module docstring for the stage semantics).
 
@@ -408,6 +433,16 @@ def device_augment(images: jnp.ndarray, gt: jnp.ndarray, rng,
     _compose_chain): flips -> crop -> jitter -> mosaic -> mixup. Zero
     probabilities skip their stage at trace time, so the default config
     pays only for what it uses.
+
+    ``partner_images``/``partner_gt`` (4B leading dim; from the trainer's
+    HBM-cache gather of FRESH random corpus rows): host-parity partner
+    semantics. The host chain's mosaic/mixup partners are independent
+    dataset draws each running the base chain with its own randomness
+    (samples.py _compose_chain); the in-batch permutation fallback reuses
+    the SAME augmented instances that train in the step, concentrating
+    each image's gradient contribution and measurably depressing
+    early-regime AP (reports/augab5_epoch5.json: the round-5 A/B matrix).
+    Rows [0:3B] feed mosaic, rows [3B:4B] feed mixup.
     """
     B = images.shape[0]
     G = gt.shape[1]
@@ -418,26 +453,55 @@ def device_augment(images: jnp.ndarray, gt: jnp.ndarray, rng,
     def bern(key, p):
         return jax.random.uniform(key, (B,)) < p
 
-    if params.hflip_p > 0:
-        img, boxes = hflip(img, boxes, bern(keys[0], params.hflip_p))
-    if params.vflip_p > 0:
-        img, boxes = vflip(img, boxes, bern(keys[1], params.vflip_p))
-    if params.crop_p > 0:
-        img, boxes = zoom_crop(img, boxes, keys[2], bern(keys[3], params.crop_p))
-        img = jnp.round(img)  # back to the uint8 value domain
-    if params.color_p > 0:
-        img = color_jitter(img, keys[4], bern(keys[5], params.color_p))
+    fresh = partner_images is not None
+    if fresh:
+        # one fused base-chain pass over main + partners (5B) with
+        # per-sample randomness — partner draws are independent of the
+        # main batch's, like the host sampler's
+        allimg = jnp.concatenate([img, partner_images.astype(jnp.float32)])
+        allbox = jnp.concatenate([boxes, partner_gt.astype(jnp.float32)])
+        allimg, allbox = _base_chain(allimg, allbox,
+                                     jax.random.split(keys[11], 6), params)
+        img, pimg = allimg[:B], allimg[B:]
+        boxes, pbox = allbox[:B], allbox[B:]
+    else:
+        img, boxes = _base_chain(img, boxes, keys, params)
     if params.mixup_p > 0:
         # the host mixup partner is a BASE sample (standard chain only,
         # samples.py _compose_chain) — snapshot before mosaic
-        pre_img, pre_boxes = img, boxes
+        if fresh:
+            # partner layout: [3B mosaic rows (when mosaic on)] + [B mixup]
+            off = 3 * B if params.mosaic_p > 0 else 0
+            pre_img, pre_boxes = pimg[off:], pbox[off:]
+        else:
+            pre_img, pre_boxes = img, boxes
     if params.mosaic_p > 0:
-        img, boxes = mosaic(img, boxes, keys[6], bern(keys[7], params.mosaic_p))
+        if fresh:
+            images4 = jnp.stack([img, pimg[:B], pimg[B:2 * B],
+                                 pimg[2 * B:3 * B]], axis=1)
+            boxes4 = jnp.stack([boxes, pbox[:B], pbox[B:2 * B],
+                                pbox[2 * B:3 * B]], axis=1)
+            kx, ky = jax.random.split(keys[6])
+            S = img.shape[1]
+            xc = jax.random.randint(kx, (B,), S // 2, S + S // 2)
+            yc = jax.random.randint(ky, (B,), S // 2, S + S // 2)
+            out, ob = mosaic_place(images4, boxes4, xc, yc)
+            passthrough = jnp.pad(boxes, ((0, 0), (0, 3 * G), (0, 0)))
+            apply_b = bern(keys[7], params.mosaic_p)
+            img = jnp.where(apply_b[:, None, None, None], out, img)
+            boxes = _where_boxes(apply_b, ob, passthrough)
+        else:
+            img, boxes = mosaic(img, boxes, keys[6],
+                                bern(keys[7], params.mosaic_p))
     if params.mixup_p > 0:
-        perm = jax.random.permutation(keys[8], B)
         lam = jax.random.beta(keys[9], params.mixup_beta, params.mixup_beta,
                               (B,))
-        img, boxes = mixup(img, boxes, pre_img[perm], pre_boxes[perm],
+        if fresh:
+            pmix_img, pmix_boxes = pre_img, pre_boxes
+        else:
+            perm = jax.random.permutation(keys[8], B)
+            pmix_img, pmix_boxes = pre_img[perm], pre_boxes[perm]
+        img, boxes = mixup(img, boxes, pmix_img, pmix_boxes,
                            lam, bern(keys[10], params.mixup_p))
     else:
         # weight column defaults to 1 for valid rows (host Mixup applies
@@ -447,9 +511,24 @@ def device_augment(images: jnp.ndarray, gt: jnp.ndarray, rng,
     return img, boxes
 
 
+def partner_rows_per_sample(config) -> int:
+    """How many fresh partner rows per batch row the augment chain wants
+    (augment.fresh_partners): 3 for mosaic + 1 for mixup."""
+    a = config.augment
+    if not bool(getattr(a, 'fresh_partners', False)):
+        return 0
+    n = 0
+    if float(getattr(a, 'mosaic_p', 0.0)) > 0:
+        n += 3
+    if float(a.mixup_p) > 0:
+        n += 1
+    return n
+
+
 def augmenter_from_config(config):
-    """(images_u8, gt, rng) -> (images_u8, gt') closure bound to the
-    augment config group, for use inside the jitted train step."""
+    """(images_u8, gt, rng[, partner_images, partner_gt]) -> (images_u8,
+    gt') closure bound to the augment config group, for use inside the
+    jitted train step."""
     a = config.augment
     params = AugmentParams(
         hflip_p=float(a.hflip_p), vflip_p=float(a.vflip_p),
@@ -457,6 +536,8 @@ def augmenter_from_config(config):
         mosaic_p=float(getattr(a, 'mosaic_p', 0.0)),
         mixup_p=float(a.mixup_p))
 
-    def fn(images, gt, rng):
-        return device_augment(images, gt, rng, params)
+    def fn(images, gt, rng, partner_images=None, partner_gt=None):
+        return device_augment(images, gt, rng, params,
+                              partner_images=partner_images,
+                              partner_gt=partner_gt)
     return fn

@@ -151,7 +151,14 @@ def make_train_step(network: DetectionNetwork, optimizer,
             # on-device augmentation (ops/augment_device.py): transforms
             # the uint8 batch + GT boxes before normalize/label-assign
             arng, rng = jax.random.split(rng)
-            raw, gt = augment_fn(batch['image'], batch['gt'], arng)
+            if 'partner_image' in batch:
+                # augment.fresh_partners: host-parity independent
+                # mosaic/mixup partners gathered from the HBM corpus
+                raw, gt = augment_fn(batch['image'], batch['gt'], arng,
+                                     batch['partner_image'],
+                                     batch['partner_gt'])
+            else:
+                raw, gt = augment_fn(batch['image'], batch['gt'], arng)
             image = device_normalize(raw)
             targets = label_fn(gt, image.shape[1:3])
             return fwd(params, state, image, targets, rng)

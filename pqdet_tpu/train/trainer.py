@@ -171,6 +171,12 @@ class Trainer:
             from pqdet_tpu.ops.augment_device import augmenter_from_config
             self._augment_fn = augmenter_from_config(self.config)
         self._device_cache = None
+        if getattr(self.config.augment, 'fresh_partners', False) \
+                and not getattr(self.config.dataset, 'device_cache', False):
+            raise ValueError('augment.fresh_partners gathers partner rows '
+                             'from the HBM corpus: set dataset.device_cache '
+                             'on (host loaders would pay 4-5x the sample '
+                             'cost instead)')
         if getattr(self.config.dataset, 'device_cache', False):
             if self._augment_fn is None or self._n_proc > 1 \
                     or self._unroll > 1 or self._spatial > 1:
@@ -227,8 +233,13 @@ class Trainer:
                     # network would correlate dropout masks with the
                     # augment draws (net's carried key == split(rng)[0])
                     arng, net_rng = jax.random.split(rng)
-                    raw, gt = trainer._augment_fn(batch['image'],
-                                                  batch['gt'], arng)
+                    if 'partner_image' in batch:
+                        raw, gt = trainer._augment_fn(
+                            batch['image'], batch['gt'], arng,
+                            batch['partner_image'], batch['partner_gt'])
+                    else:
+                        raw, gt = trainer._augment_fn(batch['image'],
+                                                      batch['gt'], arng)
                     image = device_normalize(raw)
                     targets = trainer._label_fn(gt, image.shape[1:3])
                 else:
@@ -541,9 +552,14 @@ class Trainer:
                 gts = gt_cache[idx]
                 if size != smax:
                     r = size / smax
+                    # antialias=False: cv2.INTER_LINEAR (the host letterbox
+                    # this replaces) does not antialias on downscale; the
+                    # default antialiased filter measurably softens images
+                    # (Laplacian-var p50 147 -> 59, reports/aug_stats_r5)
                     imgs = jax.image.resize(
                         imgs.astype(jnp.float32),
-                        (idx.shape[0], size, size, 3), 'bilinear')
+                        (idx.shape[0], size, size, 3), 'bilinear',
+                        antialias=False)
                     imgs = jnp.clip(jnp.round(imgs), 0, 255
                                     ).astype(jnp.uint8)
                     gts = gts * jnp.asarray([r, r, r, r, 1., 1.],
@@ -561,14 +577,31 @@ class Trainer:
     def _cached_batches(self):
         """(device batch, steps) pairs gathered from the HBM-resident
         corpus — the dataset.device_cache replacement for
-        _device_batches (host upload = the index vector)."""
+        _device_batches (host upload = the index vector).
+
+        augment.fresh_partners: each batch also gathers n*B FRESH uniform
+        corpus rows as mosaic/mixup partners (host-parity independent
+        draws, ops/augment_device.py) — the in-batch permutation
+        otherwise reuses the step's own augmented instances."""
+        from pqdet_tpu.ops.augment_device import partner_rows_per_sample
         data = self.train_data
         cache = self._device_cache
+        n_partner = partner_rows_per_sample(self.config) \
+            if self._augment_fn is not None else 0
+        prng = np.random.RandomState(
+            getattr(self.config.system, 'seed', 0) + 7)
         for k, rows in enumerate(data.batch_indices()):
             s = int(data._sizes[k][0])  # (h, w) square sizes
             idx = np.asarray([data._indexes[i] for i in rows], np.int32)
             batch = self._cache_gather(s)(cache['img'], cache['gt'],
                                           jnp.asarray(idx))
+            if n_partner:
+                pidx = prng.randint(0, data._num_imgs,
+                                    size=n_partner * len(rows))
+                pb = self._cache_gather(s)(cache['img'], cache['gt'],
+                                           jnp.asarray(pidx, jnp.int32))
+                batch = {**batch, 'partner_image': pb['image'],
+                         'partner_gt': pb['gt']}
             yield batch, 1
 
     # dispatches kept in flight before fencing: preserves host/device

@@ -212,6 +212,59 @@ def test_device_augment_chain_shapes_and_determinism():
     assert ((b1[..., 5] > 0) & (b1[..., 5] <= 1))[val].all()
 
 
+def test_device_augment_fresh_partners():
+    """augment.fresh_partners: partner rows come from the supplied fresh
+    gather instead of in-batch permutations; the chain stays valid and,
+    with flips/crop/jitter off and mosaic forced, the mosaic composes
+    EXACTLY the supplied partner images (mosaic_place parity)."""
+    B, S, G = 4, 64, 8
+    rng = np.random.default_rng(9)
+    imgs = np.stack([_rand_img(rng, S) for _ in range(B)])
+    gt = np.zeros((B, G, 6), np.float32)
+    gt[:, 0] = [8, 8, 28, 30, 2, 1.0]
+    partners = np.stack([_rand_img(rng, S) for _ in range(4 * B)])
+    pgt = np.zeros((4 * B, G, 6), np.float32)
+    pgt[:, 0] = [10, 12, 30, 40, 1, 1.0]
+
+    # full chain: shapes + determinism + validity
+    p = ad.AugmentParams(hflip_p=0.5, vflip_p=0.25, crop_p=0.75,
+                         color_p=0.5, mosaic_p=0.5, mixup_p=0.5)
+    f = jax.jit(lambda i, g, r, pi, pg:
+                ad.device_augment(i, g, r, p, partner_images=pi,
+                                  partner_gt=pg))
+    key = jax.random.PRNGKey(3)
+    i1, b1 = f(jnp.asarray(imgs), jnp.asarray(gt), key,
+               jnp.asarray(partners), jnp.asarray(pgt))
+    assert i1.dtype == jnp.uint8 and b1.shape == (B, 5 * G, 6)
+    i2, b2 = f(jnp.asarray(imgs), jnp.asarray(gt), key,
+               jnp.asarray(partners), jnp.asarray(pgt))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    # mosaic-only, forced: output == mosaic_place of (main, p0, p1, p2)
+    pm = ad.AugmentParams(hflip_p=0.0, vflip_p=0.0, crop_p=0.0,
+                          color_p=0.0, mosaic_p=1.0, mixup_p=0.0)
+    keys = jax.random.split(key, 12)
+    kx, ky = jax.random.split(keys[6])
+    xc = jax.random.randint(kx, (B,), S // 2, S + S // 2)
+    yc = jax.random.randint(ky, (B,), S // 2, S + S // 2)
+    mi = partners[:3 * B]
+    images4 = jnp.stack([jnp.asarray(imgs, jnp.float32),
+                         jnp.asarray(mi[:B], jnp.float32),
+                         jnp.asarray(mi[B:2 * B], jnp.float32),
+                         jnp.asarray(mi[2 * B:], jnp.float32)], axis=1)
+    boxes4 = jnp.stack([jnp.asarray(gt)] + [jnp.asarray(pgt[k * B:(k + 1) * B])
+                                            for k in range(3)], axis=1)
+    ref_i, _ = ad.mosaic_place(images4, boxes4, xc, yc)
+    out_i, out_b = jax.jit(lambda i, g, r, pi, pg:
+                           ad.device_augment(i, g, r, pm, partner_images=pi,
+                                             partner_gt=pg))(
+        jnp.asarray(imgs), jnp.asarray(gt), key,
+        jnp.asarray(partners), jnp.asarray(pgt))
+    np.testing.assert_array_equal(
+        np.asarray(out_i), np.asarray(jnp.clip(jnp.round(ref_i), 0, 255)
+                                      ).astype(np.uint8))
+
+
 def test_device_augment_off_probabilities_are_identity():
     B, S, G = 2, 32, 4
     rng = np.random.default_rng(7)

@@ -44,6 +44,9 @@ VARIANTS = {
     'dev_flipsonly': {'augment.crop_p': '0.0', 'augment.mosaic_p': '0.0',
                       'augment.mixup_p': '0.0'},
     # --- phase 2 (launched on phase-1 results) ---
+    # no extra resamples AT ALL (single size off the cache + no crop):
+    # device images are bit-sharp like the host's; mosaic/mixup stay on
+    'dev_sharp': {'train.input_sizes': '[512]', 'augment.crop_p': '0.0'},
     'dev_nomosaic': {'augment.mosaic_p': '0.0'},
     'dev_nomixup': {'augment.mixup_p': '0.0'},
     # the NULL device augment: chain runs but every stage is off
