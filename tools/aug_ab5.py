@@ -43,6 +43,11 @@ VARIANTS = {
     'dev_nomosmix': {'augment.mosaic_p': '0.0', 'augment.mixup_p': '0.0'},
     'dev_flipsonly': {'augment.crop_p': '0.0', 'augment.mosaic_p': '0.0',
                       'augment.mixup_p': '0.0'},
+    # --- phase 3: the candidate fix (host-parity independent partners) ---
+    'dev_fresh': {'augment.fresh_partners': 'on'},
+    'dev_fresh_sharp': {'augment.fresh_partners': 'on',
+                        'train.input_sizes': '[512]',
+                        'augment.crop_p': '0.0'},
     # --- phase 2 (launched on phase-1 results) ---
     # no extra resamples AT ALL (single size off the cache + no crop):
     # device images are bit-sharp like the host's; mosaic/mixup stay on
@@ -114,7 +119,7 @@ def run_variant(name, overrides):
     record(name, ap50=round(float(ap.mAPs[0]), 4),
            ap=round(float(ap.AP), 4),
            minutes=round((time.time() - t0) / 60, 1),
-           overrides=overrides)
+           overrides=overrides, commit=git_commit())
     del trainer
     jax.clear_caches()   # round-4 evolution lesson: per-run jit caches
     gc.collect()         # accumulate host RSS across sequential Trainers

@@ -269,7 +269,7 @@ def main_train(bs=32, model='mobilenetv2-fpn'):
     print_roofline(per_instr, 8, f'{model} bs={bs} train step')
 
 
-def main_forward(bs=16, model='mobilenetv2-fpn'):
+def main_forward(bs=16, model='mobilenetv2-fpn', s2d=0):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -282,7 +282,8 @@ def main_forward(bs=16, model='mobilenetv2-fpn'):
 
     @jax.jit
     def fwd(p, x):
-        preds, _ = net.apply(p, {}, x, compute_dtype=jnp.bfloat16)
+        preds, _ = net.apply(p, {}, x, compute_dtype=jnp.bfloat16,
+                             s2d_stem=s2d)
         return preds
 
     x = jnp.asarray(np.random.RandomState(0)
@@ -299,7 +300,12 @@ def main_forward(bs=16, model='mobilenetv2-fpn'):
 
     rows, total = _trace_rows(run, 8)
     per_instr = roofline_rows(hlo, rows)
-    print_roofline(per_instr, 8, f'{model} bs={bs} forward')
+    tag = f' s2d_stem={s2d}' if s2d else ''
+    print_roofline(per_instr, 8, f'{model} bs={bs} forward{tag}')
+
+
+def main_forward_s2d(bs=16, model='mobilenetv2-fpn'):
+    main_forward(bs, model, s2d=2)
 
 
 def main_int8(bs=16, model='mobilenetv2-fpn'):
@@ -359,4 +365,4 @@ if __name__ == '__main__':
                                                      else 16)
     model = sys.argv[3] if len(sys.argv) > 3 else 'mobilenetv2-fpn'
     {'train': main_train, 'forward': main_forward,
-     'int8': main_int8}[mode](bs, model)
+     'forward-s2d': main_forward_s2d, 'int8': main_int8}[mode](bs, model)
