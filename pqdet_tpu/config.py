@@ -89,6 +89,10 @@ class ConfigNode:
                 raise TypeError(f'{key}: cannot interpret {new!r} as {type(old).__name__}')
         if isinstance(old, (list, tuple)) and isinstance(new, (list, tuple)):
             return list(new)
+        if isinstance(old, str) and isinstance(new, bool):
+            # tri-state string knobs ('auto'/'on'/'off'): yaml parses bare
+            # on/off as bool before the merge sees it
+            return 'on' if new else 'off'
         if type(old) is not type(new) and not (
                 isinstance(old, (int, float)) and isinstance(new, (int, float))):
             raise TypeError(
@@ -277,9 +281,12 @@ DEFAULTS: Dict[str, Any] = {
         'device': False,
         # device-chain mosaic/mixup partners gathered as FRESH uniform
         # corpus rows (host-parity independent draws) instead of in-batch
-        # permutations; needs dataset.device_cache. See the round-5
-        # epoch-5 A/B matrix (reports/augab5_epoch5.json).
-        'fresh_partners': False,
+        # permutations that recycle the step's own augmented instances
+        # (epoch-5 A/B matrix, reports/augab5_epoch5.json: in-batch
+        # partners erase mosaic/mixup's +36 AP50 early-training boost).
+        # 'auto' = on whenever dataset.device_cache provides the corpus;
+        # 'on' requires the cache; 'off' keeps in-batch permutations.
+        'fresh_partners': 'auto',
     },
     'weight': {
         'dir': 'weights',

@@ -511,11 +511,23 @@ def device_augment(images: jnp.ndarray, gt: jnp.ndarray, rng,
     return img, boxes
 
 
+def fresh_partners_enabled(config) -> bool:
+    """augment.fresh_partners resolution: 'auto' (default) enables fresh
+    partners exactly when the HBM corpus cache can supply them."""
+    mode = getattr(config.augment, 'fresh_partners', 'auto')
+    if isinstance(mode, bool):
+        return mode
+    mode = str(mode).lower()
+    if mode in ('auto',):
+        return bool(getattr(config.dataset, 'device_cache', False))
+    return mode in ('on', 'true', '1', 'yes')
+
+
 def partner_rows_per_sample(config) -> int:
     """How many fresh partner rows per batch row the augment chain wants
     (augment.fresh_partners): 3 for mosaic + 1 for mixup."""
     a = config.augment
-    if not bool(getattr(a, 'fresh_partners', False)):
+    if not fresh_partners_enabled(config):
         return 0
     n = 0
     if float(getattr(a, 'mosaic_p', 0.0)) > 0:

@@ -171,12 +171,15 @@ class Trainer:
             from pqdet_tpu.ops.augment_device import augmenter_from_config
             self._augment_fn = augmenter_from_config(self.config)
         self._device_cache = None
-        if getattr(self.config.augment, 'fresh_partners', False) \
+        _fp = str(getattr(self.config.augment, 'fresh_partners', 'auto')
+                  ).lower()
+        if _fp in ('on', 'true', '1', 'yes') \
                 and not getattr(self.config.dataset, 'device_cache', False):
-            raise ValueError('augment.fresh_partners gathers partner rows '
-                             'from the HBM corpus: set dataset.device_cache '
-                             'on (host loaders would pay 4-5x the sample '
-                             'cost instead)')
+            raise ValueError('augment.fresh_partners=on gathers partner '
+                             'rows from the HBM corpus: set '
+                             'dataset.device_cache on (host loaders would '
+                             "pay 4-5x the sample cost; 'auto' falls back "
+                             'to in-batch partners without the cache)')
         if getattr(self.config.dataset, 'device_cache', False):
             if self._augment_fn is None or self._n_proc > 1 \
                     or self._unroll > 1 or self._spatial > 1:
