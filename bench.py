@@ -100,6 +100,15 @@ def bench_forward(model: str = 'mobilenetv2-fpn', batch_size: int = 1,
 
     x = jnp.asarray(np.random.RandomState(0).rand(batch_size, 512, 512, 3),
                     jnp.bfloat16)
+    if s2d < 0:
+        # host ships the s2d layout directly (serving contract): the
+        # device never sees the 3-channel spatial tensor at all
+        r = -s2d
+        xh = np.asarray(x, np.float32).reshape(
+            batch_size, 512 // r, r, 512 // r, r, 3).transpose(
+            0, 1, 3, 2, 4, 5).reshape(batch_size, 512 // r, 512 // r,
+                                      r * r * 3)
+        x = jnp.asarray(xh, jnp.bfloat16)
     float(chain(fused, x))  # compile + warmup
 
     # CONSERVATIVE: the reported per-forward time still contains 1/CHAIN of
@@ -203,6 +212,11 @@ def main():
         # space-to-depth stem ingest (ops/space_to_depth.py) A/B
         stats = bench_forward(model, batch_size=bs, s2d=2)
         metric = f'{model.replace("-", "_")}_s2d_forward_ms_bs{bs}_512'
+    elif variant == 'fp-s2dh':
+        # s2d done on the HOST (input ships pre-reshaped): isolates the
+        # device transpose cost from the folded-conv benefit
+        stats = bench_forward(model, batch_size=bs, s2d=-2)
+        metric = f'{model.replace("-", "_")}_s2dh_forward_ms_bs{bs}_512'
     else:
         stats = bench_forward(model, batch_size=bs)
         metric = f'{model.replace("-", "_")}_forward_ms_bs{bs}_512'

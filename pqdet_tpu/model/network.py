@@ -106,10 +106,10 @@ class Network:
                 raise ValueError('s2d_stem is incompatible with QAT '
                                  '(stem observers would see folded weights)')
             if not stem_foldable(self.graph.nodes[0]) \
-                    or self.graph.nodes[0].attrs['stride'] != s2d_stem:
+                    or self.graph.nodes[0].attrs['stride'] != abs(s2d_stem):
                 raise ValueError(
                     f's2d_stem={s2d_stem} needs a 3-channel ungrouped '
-                    f'stride-{s2d_stem} stem conv as node 0')
+                    f'stride-{abs(s2d_stem)} stem conv as node 0')
         if remat_segments > 1:
             if quant_ctx is not None:
                 raise ValueError('remat_segments is incompatible with QAT '
@@ -202,12 +202,16 @@ class Network:
                 w = p['w'] if quant_ctx is None else quant_ctx.fake_weights(str(i), p['w'])
                 if s2d_stem and i == 0:
                     # space-to-depth ingest: fold the stem onto the
-                    # (H/r, W/r, 3 r^2) tensor (ops/space_to_depth.py)
+                    # (H/r, W/r, 3 r^2) tensor (ops/space_to_depth.py).
+                    # A negative s2d_stem means the CALLER already ships
+                    # the input in s2d(|r|) layout (host-side reshape:
+                    # the device transpose is itself a narrow-channel op)
                     from pqdet_tpu.ops.space_to_depth import (
                         fold_stem_weight_j, space_to_depth)
-                    x = space_to_depth(x, s2d_stem)
-                    w, ph, pw = fold_stem_weight_j(w, s2d_stem, stride,
-                                                   padding)
+                    r = abs(s2d_stem)
+                    if s2d_stem > 0:
+                        x = space_to_depth(x, r)
+                    w, ph, pw = fold_stem_weight_j(w, r, stride, padding)
                     stride, padding = 1, (ph, pw)
                 x = L.conv2d(x, w, p.get('b'), stride=stride,
                              padding=padding, groups=a['groups'],
