@@ -145,23 +145,21 @@ def conv2d(x, w, b=None, stride: int = 1, padding: int = 0, groups: int = 1,
 
 
 def _chan_sum(z):
-    """(..., C) f32 -> (C,) sum over all leading axes, computed on a
-    128-lane-folded view. Narrow-C reduces otherwise run on operands
-    whose C pads to the 128-lane tile — the roofline's one clearly
-    inefficient train bucket (BN-backward multiply_reduce at 4.68x its
-    bytes bound, STATUS r4 #1: C=16/32 reduces move 4-8x their logical
-    bytes). Folding f=128/C rows into the lane dim is a FREE reshape
-    (identical row-major buffer) and leaves f partial sums per channel to
-    fold at the end."""
-    c = z.shape[-1]
-    n = z.size // c
-    fold = 1
-    if c < 128 and 128 % c == 0:
-        f = 128 // c
-        if n % f == 0:
-            fold = f
-    s = jnp.sum(z.reshape(n // fold, fold * c), axis=0)
-    return s.reshape(fold, c).sum(axis=0) if fold > 1 else s
+    """(..., C) f32 -> (C,) sum over all leading axes.
+
+    MEASURED NEGATIVE RESULT (round 5, /tmp/bnprof_*.log): a
+    128-lane-folded reshape view (fold 128/C rows into the lane dim so
+    narrow-C reduces stop paying the 4-8x tile padding the roofline
+    blamed for the 4.68x multiply_reduce bucket) is NOT free on TPU —
+    conv outputs carry tiled layouts ({3,0,2,1:T(8,128)}), so
+    (32,256,256,16)->(262144,128) materialises a relayout copy (~1.7 ms
+    per BN layer at bs=32): the folded build profiled 138.7 ms/step and
+    even sharing the fold with the forward moments dragged the autodiff
+    arm to 113.6 vs the r4 baseline 72.7. Plain reduces keep the stat
+    sums fusable into conv epilogues; the bucket's padding waste is the
+    lesser evil."""
+    axes = tuple(range(z.ndim - 1))
+    return jnp.sum(z, axis=axes)
 
 
 def _bn_moments(x):
@@ -241,13 +239,16 @@ def batch_norm(x, params, state, train: bool):
     gamma, beta = params['gamma'], params['beta']
     if train:
         import os
-        if os.environ.get('PQDET_BN_BWD') == 'autodiff':
+        # default: autodiff backward (fuses with conv epilogues). The
+        # custom single-pass vjp stays available as PQDET_BN_BWD=fused —
+        # its lane-folded variant measured SLOWER (see _chan_sum).
+        if os.environ.get('PQDET_BN_BWD') == 'fused':
+            y, mean, var = _bn_train(x, gamma, beta)
+        else:
             mean, var = _bn_moments(x)
             inv = jax.lax.rsqrt(var + BN_EPS) * gamma
             y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype) \
                 + beta.astype(x.dtype)
-        else:
-            y, mean, var = _bn_train(x, gamma, beta)
         n = x.shape[0] * x.shape[1] * x.shape[2]
         unbiased = var * (n / max(n - 1, 1))
         mean = jax.lax.stop_gradient(mean)
