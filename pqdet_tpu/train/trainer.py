@@ -378,14 +378,21 @@ class Trainer:
                         # per-scale head-input |act| history up to death:
                         # names WHICH head overflowed first (raw offsets
                         # past ~88.7 overflow decode's exp; the survival
-                        # knob is the yolo attr exp_cap, model/decode.py)
+                        # knob is the yolo attr exp_cap, model/decode.py).
+                        # Post-death steps are all-NaN, so show the LAST
+                        # FINITE rows + where the first bad row sits.
                         hist = np.concatenate(
                             [np.asarray(mm['head_max']).reshape(
                                 -1, np.asarray(mm['head_max']).shape[-1])
                              for mm in host if 'head_max' in mm])
-                        tail = np.round(hist[-6:], 1).tolist()
+                        fin = np.isfinite(hist).all(axis=1)
+                        last_fin = np.round(hist[fin][-3:], 1).tolist()
+                        first_bad = int(np.argmax(~fin)) if (~fin).any() \
+                            else -1
                         msg += (f'; head-input max|act| per scale, last '
-                                f'{len(tail)} flushed steps: {tail}')
+                                f'finite rows {last_fin}, first '
+                                f'non-finite step {first_bad}/{len(hist)} '
+                                f'of the flushed interval')
                     raise RuntimeError(msg)
                 self.losses['loss'].update(loss_val)
                 for name, vals in scalars.items():
